@@ -1,0 +1,222 @@
+"""Batched global affine-gap alignment with traceback.
+
+Re-implements the semantics of ksw2 `extz2_sse` + `ksw_backtrack`
+(reference src/ksw2_alignment.cpp:25-249; scoring: match 1, mismatch -1,
+gap open 2, extend 1, full band — src/ksw2_alignment.cpp:9,261) as a batched
+anti-diagonal recurrence: one lax.scan step per anti-diagonal r, vectors over
+the target axis, vmapped over the problem batch. With the full band the
+reference's off/off_end forcing in the backtrack can never trigger, so the
+traceback is a pure direction-byte walk, done on device in lockstep over the
+batch so only the op codes (not the O(L^2) direction matrix) leave the chip.
+
+The reference's int8 SSE difference recurrence never saturates for this
+scoring (that is its design), so int32 arithmetic here reproduces it exactly;
+the unsigned max in the reference operates on provably non-negative values.
+
+Conventions follow ksw2: "query" Q = the reference-genome fragment (s1),
+"target" T = the query-genome fragment (s2); op codes 0=M, 1=D (consumes T,
+gap in Q row), 2=I (consumes Q, gap in T row), 3=pad.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MATCH = 1
+MISMATCH = -1
+GAP_OPEN = 2      # q
+GAP_EXTEND = 1    # e
+QE = GAP_OPEN + GAP_EXTEND
+QE2 = 2 * QE
+MAX_SC = MATCH + QE2
+WILDCARD = 4
+
+OP_M, OP_D, OP_I, OP_PAD = 0, 1, 2, 3
+
+
+def _dp_forward_single(q_codes, t_codes, ql, tl, L):
+    """Direction bytes for one problem. q_codes/t_codes int32 [L] (pad 4)."""
+    i32 = jnp.int32
+    n_rows = 2 * L - 1
+    # reversed query padded both sides with wildcards: Q[r - t] = qrev_pad[L + ql-1-r + t]
+    qrev = q_codes[::-1]                        # qrev[i] = Q[L-1-i]; Q pads at end
+    # Q[j] for j in [0, ql): qrev[L-1-j]
+    qrev_pad = jnp.concatenate([jnp.full(L, WILDCARD, i32), qrev,
+                                jnp.full(L, WILDCARD, i32)])
+
+    def row(carry, r):
+        u, v, x, y = carry
+        r_eff = jnp.minimum(r, ql + tl - 2)
+        st0 = jnp.maximum(0, r_eff - ql + 1)
+        en0 = jnp.minimum(r_eff, tl - 1)
+
+        # boundary pre-sets on the previous-row arrays at t = r (first DP row)
+        in_top = r_eff <= tl - 1
+        u = jnp.where(in_top, u.at[r_eff].set(jnp.where(r_eff > 0, GAP_OPEN, 0)), u)
+        y = jnp.where(in_top, y.at[r_eff].set(0), y)
+
+        # s[t] = score(T[t], Q[r-t]); wildcard -> 0
+        # Q[r-t] = Q[(r_eff) - t] via qrev_pad gather: index = L + ql-1-r_eff + t
+        start = L + ql - 1 - r_eff
+        qrr = jax.lax.dynamic_slice(qrev_pad, (start,), (L,))
+        is_wild = (t_codes >= WILDCARD) | (qrr >= WILDCARD)
+        s = jnp.where(is_wild, 0,
+                      jnp.where(t_codes == qrr, MATCH, MISMATCH)).astype(i32)
+
+        # shifted previous-row values: xt1[t] = x[t-1], vt1[t] = v[t-1]
+        x1 = i32(0)
+        v1 = jnp.where(r_eff > 0, i32(GAP_OPEN), i32(0))  # only used when st0==0
+        xt1 = jnp.concatenate([jnp.array([x1], i32), x[:-1]])
+        vt1 = jnp.concatenate([v[:1] * 0 + v1, v[:-1]])
+
+        z = s + QE2
+        a = xt1 + vt1
+        b = y + u
+        d = jnp.where(a > z, 1, 0).astype(jnp.uint8)
+        z = jnp.maximum(z, a)
+        d = jnp.where(b > z, jnp.uint8(2), d)
+        z = jnp.maximum(z, b)
+        z = jnp.minimum(z, MAX_SC)
+        u_new = z - vt1
+        v_new = z - u
+        z2 = z - GAP_OPEN
+        a2 = a - z2
+        b2 = b - z2
+        x_new = jnp.maximum(a2, 0)
+        y_new = jnp.maximum(b2, 0)
+        d = d | jnp.where(a2 > 0, jnp.uint8(8), jnp.uint8(0))
+        d = d | jnp.where(b2 > 0, jnp.uint8(0x10), jnp.uint8(0))
+
+        t_idx = jnp.arange(L, dtype=i32)
+        in_band = (t_idx >= st0) & (t_idx <= en0)
+        u = jnp.where(in_band, u_new, u)
+        v = jnp.where(in_band, v_new, v)
+        x = jnp.where(in_band, x_new, x)
+        y = jnp.where(in_band, y_new, y)
+        d = jnp.where(in_band, d, jnp.uint8(0))
+        return (u, v, x, y), d
+
+    z0 = jnp.zeros(L, i32)
+    (_, _, _, _), d_rows = jax.lax.scan(
+        row, (z0, z0, z0, z0), jnp.arange(n_rows, dtype=i32))
+    return d_rows   # uint8 [2L-1, L]
+
+
+def _traceback_single(d_rows, ql, tl, L):
+    """ksw_backtrack (src/ksw2_alignment.cpp:25-68), full band: no forcing.
+
+    Emits ops from the alignment END backwards; host reverses.
+    """
+    i32 = jnp.int32
+    n_steps = 2 * L
+
+    def step(s, carry):
+        i, j, state, ops = carry
+        both = (i >= 0) & (j >= 0)
+        r = jnp.clip(i + j, 0, 2 * L - 2)
+        tmp = jnp.where(both, d_rows[r, jnp.clip(i, 0, L - 1)], 0).astype(i32)
+        s1 = jnp.where(state == 0, tmp & 7,
+                       jnp.where(((tmp >> (state + 2)) & 1) == 0, 0, state))
+        s2 = jnp.where(s1 == 0, tmp & 7, s1)
+        is_m = s2 == 0
+        is_d = (s2 == 1) | (s2 == 3)
+        op_main = jnp.where(is_m, OP_M, jnp.where(is_d, OP_D, OP_I))
+        op_tail = jnp.where(i >= 0, OP_D, jnp.where(j >= 0, OP_I, OP_PAD))
+        op = jnp.where(both, op_main, op_tail)
+        di = jnp.where(both, jnp.where(is_m | is_d, 1, 0), jnp.where(i >= 0, 1, 0))
+        dj = jnp.where(both, jnp.where(is_m | ~is_d, 1, 0), jnp.where((i < 0) & (j >= 0), 1, 0))
+        ops = ops.at[s].set(op.astype(jnp.uint8))
+        return (i - di, j - dj, jnp.where(both, s2, state), ops)
+
+    ops0 = jnp.full(n_steps, OP_PAD, jnp.uint8)
+    carry = (tl - 1, ql - 1, i32(0), ops0)
+    _, _, _, ops = jax.lax.fori_loop(0, n_steps, step, carry)
+    return ops  # uint8 [2L], reverse-order ops, OP_PAD tail
+
+
+@partial(jax.jit, static_argnames=("L",))
+def dp_align_batch(q_codes: jnp.ndarray,   # int32 [B, L] ref fragments (pad 4)
+                   t_codes: jnp.ndarray,   # int32 [B, L] qry fragments (pad 4)
+                   ql: jnp.ndarray,        # int32 [B]
+                   tl: jnp.ndarray,        # int32 [B]
+                   L: int) -> jnp.ndarray:
+    """Returns reverse-order op codes uint8 [B, 2L] (OP_PAD beyond the end)."""
+    def one(q, t, a, b):
+        d_rows = _dp_forward_single(q, t, a, b, L)
+        return _traceback_single(d_rows, a, b, L)
+    return jax.vmap(one)(q_codes, t_codes, ql, tl)
+
+
+def align_fragments(ref_frags, qry_frags, bucket_sizes=(64, 128, 256, 512,
+                                                        1024, 2048, 5120),
+                    batch_cells: int = 1 << 26,
+                    dp_fn=None) -> list:
+    """Align a list of (ref_codes, qry_codes) numpy fragment pairs.
+
+    Buckets problems by max(len) into padded batches, runs the device kernel
+    per bucket, returns per-pair op lists in FORWARD order (list of numpy
+    uint8 arrays of {OP_M, OP_D, OP_I}).
+    """
+    if dp_fn is None:
+        dp_fn = dp_align_batch
+    n = len(ref_frags)
+    results: list = [None] * n
+    order = sorted(range(n), key=lambda i: max(len(ref_frags[i]),
+                                               len(qry_frags[i])))
+    buckets = {}
+    for i in order:
+        m = max(len(ref_frags[i]), len(qry_frags[i]))
+        for Lb in bucket_sizes:
+            if m <= Lb:
+                buckets.setdefault(Lb, []).append(i)
+                break
+        else:
+            buckets.setdefault(int(np.ceil(m / 1024) * 1024), []).append(i)
+
+    for Lb, idxs in sorted(buckets.items()):
+        max_batch = max(1, batch_cells // (Lb * Lb))
+        for s in range(0, len(idxs), max_batch):
+            part = idxs[s: s + max_batch]
+            B = len(part)
+            q = np.full((B, Lb), WILDCARD, dtype=np.int32)
+            t = np.full((B, Lb), WILDCARD, dtype=np.int32)
+            ql = np.zeros(B, dtype=np.int32)
+            tl = np.zeros(B, dtype=np.int32)
+            for bi, i in enumerate(part):
+                rf, qf = ref_frags[i], qry_frags[i]
+                q[bi, :len(rf)] = rf
+                t[bi, :len(qf)] = qf
+                ql[bi] = len(rf)
+                tl[bi] = len(qf)
+            ops = np.asarray(dp_fn(jnp.asarray(q), jnp.asarray(t),
+                                   jnp.asarray(ql), jnp.asarray(tl), Lb))
+            for bi, i in enumerate(part):
+                o = ops[bi]
+                o = o[o != OP_PAD][::-1]   # forward order
+                results[i] = o
+    return results
+
+
+def ops_to_alignment(ops: np.ndarray, ref_chars: np.ndarray,
+                     qry_chars: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Expand forward-order ops into gapped aligned rows (ASCII uint8).
+
+    Mirrors the gap-insertion loop of ksw2_alignment
+    (src/ksw2_alignment.cpp:264-272): OP_D puts '-' in the ref row,
+    OP_I puts '-' in the qry row.
+    """
+    n = len(ops)
+    a1 = np.empty(n, dtype=np.uint8)
+    a2 = np.empty(n, dtype=np.uint8)
+    take_ref = ops != OP_D        # M and I consume ref chars
+    take_qry = ops != OP_I        # M and D consume qry chars
+    ref_idx = np.cumsum(take_ref) - 1
+    qry_idx = np.cumsum(take_qry) - 1
+    a1 = np.where(take_ref, ref_chars[np.maximum(ref_idx, 0)], ord("-")).astype(np.uint8)
+    a2 = np.where(take_qry, qry_chars[np.maximum(qry_idx, 0)], ord("-")).astype(np.uint8)
+    return a1, a2

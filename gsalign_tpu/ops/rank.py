@@ -1,0 +1,159 @@
+"""Batched FM-index rank/occ queries on device.
+
+The reference answers one rank query at a time with popcount over an
+interleaved BWT (src/bwt_search.cpp:45-119). Here a query is a lane of a
+[B]-vector: checkpoint gather + vectorized 2-bit-field equality + popcount
+over the 8 words of one 128-base block, so thousands of FM extensions step
+together through the index — that is the whole design point of the TPU port.
+
+All rank-space integers are int32 (seq_len < 2^31 asserted at build time;
+multi-host sharding covers larger genomes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsalign_tpu.index.fmindex import FMIndex, WORDS_PER_BLOCK
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["bwt_packed", "occ_cp", "l2", "sa_samples"],
+         meta_fields=["seq_len", "primary", "sa_intv"])
+@dataclasses.dataclass(frozen=True)
+class DeviceFMIndex:
+    bwt_packed: jnp.ndarray   # uint32 [n_blocks*8]
+    occ_cp: jnp.ndarray       # int32 [n_blocks, 4]
+    l2: jnp.ndarray           # int32 [5]
+    sa_samples: jnp.ndarray   # int32 [n_samples]
+    seq_len: int
+    primary: int
+    sa_intv: int
+
+    @staticmethod
+    def from_host(fm: FMIndex) -> "DeviceFMIndex":
+        if fm.seq_len >= (1 << 31):
+            raise NotImplementedError("int32 device index needs seq_len < 2^31")
+        return DeviceFMIndex(
+            bwt_packed=jnp.asarray(fm.bwt_packed),
+            occ_cp=jnp.asarray(fm.occ_cp, dtype=jnp.int32),
+            l2=jnp.asarray(fm.l2, dtype=jnp.int32),
+            sa_samples=jnp.asarray(fm.sa_samples, dtype=jnp.int32),
+            seq_len=int(fm.seq_len),
+            primary=int(fm.primary),
+            sa_intv=int(fm.sa_intv),
+        )
+
+
+_LOW = jnp.uint32(0x55555555)
+
+
+def _field_match_bits(words: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Per 2-bit field: low bit set iff field == c. words uint32 [...]."""
+    x = words ^ jnp.uint32(c * 0x55555555)
+    return (~x) & ((~x) >> jnp.uint32(1)) & _LOW
+
+
+def occ4(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
+    """Counts of each base in B'[0..k_adj], batched. k int32 [B] (-1 -> 0).
+
+    Mirrors bwt_occ4 (src/bwt_search.cpp:69-86) with the base-selection mask
+    applied to the match-bit vector, which removes the reference's
+    count-of-A correction term.
+    """
+    valid = k >= 0
+    ka = k - (k >= dfm.primary).astype(k.dtype)
+    ka_safe = jnp.maximum(ka, 0)
+    block = ka_safe >> 7
+    cp = dfm.occ_cp[block]                                  # [B, 4]
+    word0 = block * WORDS_PER_BLOCK
+    j = jnp.arange(WORDS_PER_BLOCK, dtype=k.dtype)
+    words = dfm.bwt_packed[word0[:, None] + j[None, :]]      # [B, 8] uint32
+    widx = (ka_safe >> 4) & 7                                # word holding ka
+    m_in = (ka_safe & 15) + 1
+    limit = jnp.where(j[None, :] < widx[:, None], 16,
+                      jnp.where(j[None, :] == widx[:, None], m_in[:, None], 0))
+    shift = jnp.clip(32 - 2 * limit, 0, 31).astype(jnp.uint32)
+    base_mask = jnp.where(limit == 0, jnp.uint32(0),
+                          jnp.uint32(0xFFFFFFFF) << shift)   # keep first `limit`
+    counts = []
+    for c in range(4):
+        bits = _field_match_bits(words, c) & base_mask
+        counts.append(jnp.sum(jax.lax.population_count(bits), axis=1))
+    cnt = cp + jnp.stack(counts, axis=1).astype(cp.dtype)
+    return jnp.where(valid[:, None], cnt, 0)
+
+
+def bwt_code_at(dfm: DeviceFMIndex, x: jnp.ndarray) -> jnp.ndarray:
+    """BWT base code at $-removed position x, batched."""
+    w = dfm.bwt_packed[x >> 4]
+    sh = (((~x) & 15) << 1).astype(jnp.uint32)
+    return ((w >> sh) & jnp.uint32(3)).astype(jnp.int32)
+
+
+def extend_forward(dfm: DeviceFMIndex, ik0, ik1, ik2, nt):
+    """One forward-extension step of the bi-interval (pattern, RC-pattern).
+
+    Batched equivalent of the loop body in BWT_Search
+    (src/bwt_search.cpp:159-171): occ4 at the RC interval's two ends,
+    derive all four child intervals, pick child 3-nt.
+    Returns (ok0, ok1, ok2) for the chosen child (ok2 == 0 => dead end).
+    """
+    tk = occ4(dfm, ik1 - 1)                      # [B,4]
+    tl = occ4(dfm, ik1 - 1 + ik2)
+    x1_all = dfm.l2[None, :4] + 1 + tk           # [B,4]
+    s_all = tl - tk
+    has_primary = ((ik1 <= dfm.primary) &
+                   (ik1 + ik2 - 1 >= dfm.primary)).astype(ik0.dtype)
+    x0_3 = ik0 + has_primary
+    x0_2 = x0_3 + s_all[:, 3]
+    x0_1 = x0_2 + s_all[:, 2]
+    x0_0 = x0_1 + s_all[:, 1]
+    x0_all = jnp.stack([x0_0, x0_1, x0_2, x0_3], axis=1)
+    i = 3 - nt
+    rows = jnp.arange(ik0.shape[0])
+    return x0_all[rows, i], x1_all[rows, i], s_all[rows, i]
+
+
+def init_interval(dfm: DeviceFMIndex, p: jnp.ndarray):
+    """Initial bi-interval for a single base p (src/bwt_search.cpp:149-152)."""
+    ik0 = dfm.l2[p] + 1
+    ik1 = dfm.l2[3 - p] + 1
+    ik2 = dfm.l2[p + 1] - dfm.l2[p]
+    return ik0, ik1, ik2
+
+
+def inv_psi(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
+    """Batched bwt_invPsi (src/bwt_search.cpp:121-127)."""
+    x = k - (k > dfm.primary).astype(k.dtype)
+    c = bwt_code_at(dfm, x)
+    occ_c = occ4(dfm, k)[jnp.arange(k.shape[0]), c]
+    xr = dfm.l2[c] + occ_c
+    return jnp.where(k == dfm.primary, 0, xr)
+
+
+@partial(jax.jit, static_argnums=())
+def resolve_sa(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
+    """Batched bwt_sa (src/bwt_search.cpp:129-139): LF-walk each rank to the
+    nearest sampled one, then add the stored SA value (mod seq_len+1)."""
+    mask = jnp.int32(dfm.sa_intv - 1)
+    log2_intv = int(np.log2(dfm.sa_intv))
+
+    def cond(state):
+        k, steps = state
+        return jnp.any((k & mask) != 0)
+
+    def body(state):
+        k, steps = state
+        active = (k & mask) != 0
+        k_new = inv_psi(dfm, k)
+        return jnp.where(active, k_new, k), steps + active.astype(jnp.int32)
+
+    k, steps = jax.lax.while_loop(cond, body, (k, jnp.zeros_like(k)))
+    base = dfm.sa_samples[k >> log2_intv]
+    return (steps + base) % jnp.int32(dfm.seq_len + 1)

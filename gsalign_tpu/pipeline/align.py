@@ -1,0 +1,201 @@
+"""Top-level genome comparison pipeline.
+
+Equivalent of GenomeComparison (src/GSAlign.cpp:473-552): per query
+chromosome, run seeding -> grouping/chaining -> overlap repair -> gap split
+-> chromosome-span split -> dedup -> gap fill -> alignment generation ->
+identity filter -> output. The reference's per-stage pthread barriers map to
+whole-array device launches here; stage order and all filters are preserved.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from gsalign_tpu.config import AlignConfig
+from gsalign_tpu.genome.coords import ChrLocIndex, gen_coordinate_info
+from gsalign_tpu.genome.packing import Genome, chars_to_codes
+from gsalign_tpu.index.fmindex import FMIndex
+from gsalign_tpu.ops.rank import DeviceFMIndex
+from gsalign_tpu.ops.seeding import find_seeds
+from gsalign_tpu.pipeline import blocks as blk_ops
+from gsalign_tpu.pipeline import chain
+from gsalign_tpu.pipeline.generate import generate_alignments
+from gsalign_tpu.pipeline.output import write_aln, write_dotplot, write_maf
+from gsalign_tpu.pipeline.variants import (VariantCollector,
+                                           identify_variants, write_vcf)
+
+
+@dataclasses.dataclass
+class RunStats:
+    local_alignment_num: int = 0
+    total_alignment_length: int = 0
+    total_alignment_matches: int = 0
+    dup_aln_num: int = 0
+
+    @property
+    def ani(self) -> float:
+        if self.total_alignment_length == 0:
+            return 0.0
+        return 100.0 * self.total_alignment_matches / self.total_alignment_length
+
+
+@dataclasses.dataclass
+class ChromosomeResult:
+    name: str
+    blocks: list
+    n_alignments: int
+    aln_len: int
+    aln_score: int
+
+
+def log(msg: str, verbose: bool = True):
+    if verbose:
+        print(msg, file=sys.stderr, flush=True)
+
+
+def compare_genomes(fm: FMIndex,
+                    query_records: List,
+                    cfg: AlignConfig,
+                    output_prefix: Optional[str] = None,
+                    verbose: bool = True,
+                    dp_fn=None):
+    """Run the full comparison. query_records: [(name, ascii uint8[]), ...].
+
+    Returns (RunStats, VariantCollector, [ChromosomeResult]).
+    """
+    cfg = cfg.effective()
+    genome = fm.genome
+    chr_index = ChrLocIndex(genome)
+    ref_chars = genome.chars_fwd_rc()
+    dfm = DeviceFMIndex.from_host(fm)
+    stats = RunStats()
+    collector = VariantCollector()
+    results: List[ChromosomeResult] = []
+    t0 = time.time()
+
+    maf_path = f"{output_prefix}.maf" if output_prefix else None
+    aln_path = f"{output_prefix}.aln" if output_prefix else None
+
+    log("Step2. Sequence analysis for all query chromosomes", verbose)
+    first_out = True
+    for qc_idx, (qname, qry_chars) in enumerate(query_records):
+        log(f"\tProcess query chromosome: {qname}...", verbose)
+        qry_codes = chars_to_codes(qry_chars)
+
+        # S1: seeding (device)
+        q_pos, r_pos, length = find_seeds(
+            dfm, qry_codes,
+            min_seed_length=cfg.min_seed_length,
+            max_seed_freq=cfg.max_seed_freq,
+            sensitive=cfg.sensitive,
+            chunk=cfg.seed_exploration_chunk)
+
+        # S2+S3: grouping + chaining
+        blocks = chain.generate_alignment_blocks(
+            q_pos, r_pos, length, cfg, genome.size)
+
+        # S4: overlap repair
+        for b in blocks:
+            blk_ops.remove_overlaps(b)
+
+        # S5: gap splitting
+        new_blocks = []
+        for b in blocks:
+            subs = blk_ops.check_gaps_between_seeds(b, qry_chars, ref_chars,
+                                                    cfg)
+            if subs is None:
+                new_blocks.append(b)
+            else:
+                new_blocks.extend(subs)
+        blocks = blk_ops.remove_bad_blocks(new_blocks)
+
+        # S6: chromosome-span splitting
+        new_blocks = []
+        for b in blocks:
+            subs = blk_ops.check_span_multiple_chrs(b, chr_index, cfg)
+            if subs is None:
+                new_blocks.append(b)
+            else:
+                new_blocks.extend(subs)
+        blocks = blk_ops.remove_bad_blocks(new_blocks)
+
+        # S7: dedup
+        for b in blocks:
+            b.b_dup = False
+        chr_scores = blk_ops.est_chromosome_similarity(blocks, chr_index)
+        blocks = blk_ops.remove_redundant_blocks(blocks, chr_scores,
+                                                 chr_index, cfg, axis=1)
+        blocks = blk_ops.remove_redundant_blocks(blocks, chr_scores,
+                                                 chr_index, cfg, axis=2)
+
+        # S8: gap fill
+        for b in blocks:
+            if b.score > 0:
+                blk_ops.fill_block_gaps(b)
+
+        # S9: alignment generation (device DP)
+        generate_alignments(blocks, qry_chars, ref_chars, cfg, dp_fn=dp_fn)
+
+        # identity filter + stats (src/GSAlign.cpp:528-541)
+        n = 0
+        aln_len_sum = 0
+        aln_score_sum = 0
+        for b in blocks:
+            if b.aln_len == 0 or \
+                    int(100 * (b.score / b.aln_len)) < cfg.min_seq_idy:
+                b.score = 0
+            else:
+                if b.b_dup:
+                    stats.dup_aln_num += 1
+                n += 1
+                aln_len_sum += b.aln_len
+                aln_score_sum += b.score
+                stats.local_alignment_num += 1
+                stats.total_alignment_length += b.aln_len
+                stats.total_alignment_matches += b.score
+                b.coor = gen_coordinate_info(chr_index, int(b.r_pos[0]))
+        blocks = blk_ops.remove_bad_blocks(blocks)
+        if n == 0:
+            continue
+        log(f"\t\tProduce {n} local alignments (length = {aln_len_sum}), "
+            f"ANI={100.0 * aln_score_sum / aln_len_sum:.2f}%", verbose)
+
+        # output (NB: the writers clip blocks in place, so they run before
+        # variant identification, same as the reference ordering)
+        if output_prefix:
+            if cfg.output_format == 1:
+                write_maf(maf_path, blocks, qname, qry_chars, chr_index,
+                          first_out, cfg.allow_duplication)
+            elif cfg.output_format == 2:
+                write_aln(aln_path, blocks, qname, qry_chars, chr_index,
+                          first_out, cfg.allow_duplication)
+            first_out = False
+        if cfg.emit_vcf:
+            identify_variants(blocks, qry_chars, ref_chars, chr_index,
+                              collector)
+        if cfg.show_plot and output_prefix:
+            write_dotplot(output_prefix, qname, blocks, chr_index)
+
+        results.append(ChromosomeResult(qname, blocks, n, aln_len_sum,
+                                        aln_score_sum))
+
+    if stats.local_alignment_num > 0:
+        log(f"\tAlignment#={stats.local_alignment_num} "
+            f"(total alignment length={stats.total_alignment_length}) "
+            f"ANI={stats.ani:.2f}%, unique alignment#="
+            f"{stats.local_alignment_num - stats.dup_aln_num}", verbose)
+    log(f"\tIt took {int(time.time() - t0)} seconds for genome sequence "
+        f"alignment.", verbose)
+
+    if cfg.emit_vcf and output_prefix:
+        log(f"\nGSAlign identifies {collector.n_snv} SNVs, "
+            f"{collector.n_ins} insertions, and {collector.n_del} deletions "
+            f"[{output_prefix}.vcf].", verbose)
+        write_vcf(f"{output_prefix}.vcf", collector, genome.names,
+                  genome.lengths, reference_name=output_prefix)
+    return stats, collector, results

@@ -1,0 +1,264 @@
+"""Seed grouping, chaining, outlier removal, block construction.
+
+Host-side vectorized (numpy) emulation of the reference's stages S2-S3
+(SeedGrouping src/GSAlign.cpp:126-143, SeedGroupAnalysis src/GSAlign.cpp:305-375
+and helpers :145-303). These heuristics are order-dependent; the observable
+behavior is reproduced exactly. Seed counts here are 10^4-10^6 — scalar-cheap
+next to seeding/DP — so clarity and parity win over device offload; the
+PosDiff sort that dominates is already done on device by the seeding stage.
+
+Integer division in the reference is C++ int64 (truncation toward zero);
+`_trunc_div` mirrors that. `PosDiff >> 4` is an arithmetic shift (floor).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+from gsalign_tpu.config import AlignConfig
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """C++ integer division (truncates toward zero)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+@dataclasses.dataclass
+class Block:
+    """An alignment block: struct-of-arrays over its FragPairs.
+
+    Equivalent of AlnBlock_t (src/structure.h:115-122); aln1/aln2 are filled
+    per non-seed pair by the DP stage.
+    """
+    q_pos: np.ndarray      # int64 [n]
+    r_pos: np.ndarray      # int64 [n]
+    q_len: np.ndarray      # int64 [n]
+    r_len: np.ndarray      # int64 [n]
+    b_seed: np.ndarray     # bool  [n]
+    score: int = 0
+    aln_len: int = 0
+    b_dup: bool = False
+    aln1: list = dataclasses.field(default_factory=list)  # per-pair bytes|None
+    aln2: list = dataclasses.field(default_factory=list)
+    coor = None
+
+    @property
+    def n(self) -> int:
+        return int(self.q_pos.shape[0])
+
+    def pos_diff(self) -> np.ndarray:
+        return self.r_pos - self.q_pos
+
+
+def seed_grouping(pos_diff: np.ndarray, max_indel_size: int
+                  ) -> List[Tuple[int, int]]:
+    """Split PosDiff-sorted seeds where consecutive diffs exceed MaxIndelSize
+    (SeedGrouping, src/GSAlign.cpp:126-143). Returns [start, end) pairs."""
+    n = int(pos_diff.shape[0])
+    if n == 0:
+        return []
+    brk = np.nonzero((pos_diff[1:] - pos_diff[:-1]) > max_indel_size)[0] + 1
+    bounds = np.concatenate([[0], brk, [n]])
+    return [(int(bounds[i]), int(bounds[i + 1])) for i in range(len(bounds) - 1)]
+
+
+def _unique_mask(q_pos: np.ndarray) -> np.ndarray:
+    """True where a qPos occurs exactly once (src/GSAlign.cpp:316-325).
+    Assumes q_pos sorted ascending."""
+    n = q_pos.shape[0]
+    uniq = np.ones(n, dtype=bool)
+    if n > 1:
+        same_prev = np.zeros(n, dtype=bool)
+        same_prev[1:] = q_pos[1:] == q_pos[:-1]
+        same_next = np.zeros(n, dtype=bool)
+        same_next[:-1] = q_pos[:-1] == q_pos[1:]
+        uniq = ~(same_prev | same_next)
+    return uniq
+
+
+def _remove_outlier_seeds(pd: np.ndarray, b_seed: np.ndarray,
+                          uniq: np.ndarray, lo: int, hi: int,
+                          cfg: AlignConfig, genome_size: int) -> None:
+    """RemoveOutlierSeeds + RefinePDFmap + Check_PD_Frequency
+    (src/GSAlign.cpp:145-153, 245-296) on the [lo, hi) slice, in place."""
+    sel = np.nonzero(uniq[lo:hi])[0] + lo
+    if sel.size == 0:
+        return
+    bins = pd[sel] >> 4                       # arithmetic shift
+    uniq_bins, counts = np.unique(bins, return_counts=True)
+    # RefinePDFmap: zero bins >= 3 away from the max-frequency bin.
+    # std::map iteration is ascending; "iter->second > max.second" keeps the
+    # FIRST (smallest) bin among ties.
+    max_i = int(np.argmax(counts))            # argmax -> first max, ascending
+    max_bin = int(uniq_bins[max_i]) if counts[max_i] > 0 else 0
+    if counts[max_i] == 0:
+        max_bin = 0
+    freq = counts.copy()
+    freq[np.abs(uniq_bins - max_bin) >= 3] = 0
+    bin_freq = dict(zip(uniq_bins.tolist(), freq.tolist()))
+    good = freq[np.searchsorted(uniq_bins, bins)] > 0
+    n_good = int(good.sum())
+    if n_good > 0:
+        avg = _trunc_div(int(pd[sel[good]].sum()), n_good)
+    else:
+        avg = genome_size
+    kill = (np.abs(avg - pd[sel]) > cfg.max_indel_size) & \
+        (freq[np.searchsorted(uniq_bins, bins)] < cfg.min_pd_freq)
+    b_seed[sel[kill]] = False
+
+
+def _outlier_pass(q_pos, pd, b_seed, uniq, cfg, genome_size) -> None:
+    """The interval-driven outlier sweep (src/GSAlign.cpp:326-338)."""
+    n = q_pos.shape[0]
+    i = 0
+    cnt = 1 if (n > 0 and uniq[0]) else 0
+    for j in range(1, n):
+        if uniq[j]:
+            if pd[j] == pd[j - 1]:
+                cnt += 1
+            else:
+                cnt += 1
+                if cnt >= 30 and q_pos[j] - q_pos[i] > 3000:
+                    _remove_outlier_seeds(pd, b_seed, uniq, i, j, cfg,
+                                          genome_size)
+                    i = j
+                    cnt = 0
+    _remove_outlier_seeds(pd, b_seed, uniq, i, n, cfg, genome_size)
+
+
+def _resolve_repeats(q_pos, pd, b_seed, uniq, cfg, genome_size) -> None:
+    """Per equal-qPos run, keep the occurrence nearest the neighborhood
+    PosDiff average (src/GSAlign.cpp:178-225, 341-350)."""
+    n = q_pos.shape[0]
+    runs_start = np.nonzero(np.concatenate(
+        [[True], q_pos[1:] != q_pos[:-1]]))[0]
+    runs_end = np.append(runs_start[1:], n)
+    for s, e in zip(runs_start, runs_end):
+        if e - s < 2:
+            continue
+        # FindNeighboringPosDiffAvg (src/GSAlign.cpp:178-206)
+        n1 = 0
+        sum1 = 0
+        for p1 in range(s - 1, -1, -1):
+            if uniq[p1] and b_seed[p1]:
+                n1 += 1
+                sum1 += int(pd[p1])
+                if n1 == 5:
+                    break
+        n2 = 0
+        sum2 = 0
+        p2 = e
+        while p2 < n and p2 > 0:
+            if uniq[p2] and b_seed[p2]:
+                n2 += 1
+                sum2 += int(pd[p2])
+                if n2 == 5:
+                    break
+            p2 += 1
+        if n1 > 0 or n2 > 0:
+            avg = _trunc_div(sum1 + sum2, n1 + n2)
+        else:
+            avg = int(pd[s])
+        # RemoveRedundantSeeds (src/GSAlign.cpp:208-225): strict < keeps the
+        # first minimum in scan order.
+        diffs = np.abs(pd[s:e] - avg)
+        ok = diffs < cfg.max_indel_size
+        keep = -1
+        best = genome_size
+        for k in range(e - s):
+            if ok[k] and diffs[k] < best:
+                best = int(diffs[k])
+                keep = k
+        sel = np.ones(e - s, dtype=bool)
+        if keep >= 0:
+            sel[keep] = False
+        b_seed[s:e][sel] = False
+
+
+def _compact_kept(q_pos, r_pos, q_len, pd, b_seed):
+    """CompByRemoval sort + trim (src/GSAlign.cpp:353,363): kept seeds stay in
+    qPos order (they have distinct qPos), removed ones drop off the end."""
+    keep = b_seed
+    return (q_pos[keep], r_pos[keep], q_len[keep], pd[keep],
+            np.ones(int(keep.sum()), dtype=bool))
+
+
+def seed_group_analysis(q_pos: np.ndarray, r_pos: np.ndarray,
+                        q_len: np.ndarray, cfg: AlignConfig,
+                        genome_size: int) -> List[Block]:
+    """SeedGroupAnalysis (src/GSAlign.cpp:305-375) for one seed group.
+    Returns the blocks that pass AddAlnBlock's filters (:29-49)."""
+    # sort by (qPos, rPos) — CompByQueryPos
+    order = np.lexsort((r_pos, q_pos))
+    q_pos = q_pos[order].copy()
+    r_pos = r_pos[order].copy()
+    q_len = q_len[order].copy()
+    pd = r_pos - q_pos
+    n = q_pos.shape[0]
+    b_seed = np.ones(n, dtype=bool)
+    uniq = _unique_mask(q_pos)
+
+    _outlier_pass(q_pos, pd, b_seed, uniq, cfg, genome_size)
+    _resolve_repeats(q_pos, pd, b_seed, uniq, cfg, genome_size)
+
+    q_pos, r_pos, q_len, pd, b_seed = _compact_kept(q_pos, r_pos, q_len, pd,
+                                                    b_seed)
+    n = q_pos.shape[0]
+    # triple-noise filter (src/GSAlign.cpp:355-362): computed on the compacted
+    # array; removal does not cascade (neighbors use original values).
+    if n >= 3:
+        noisy = (np.abs(pd[1:-1] - pd[:-2]) > 5) & \
+            (np.abs(pd[1:-1] - pd[2:]) > 5)
+        kill = np.zeros(n, dtype=bool)
+        kill[1:-1] = noisy
+        b_seed[kill] = False
+        q_pos, r_pos, q_len, pd, b_seed = _compact_kept(
+            q_pos, r_pos, q_len, pd, b_seed)
+        n = q_pos.shape[0]
+
+    if n == 0:
+        return []
+    # chain split (src/GSAlign.cpp:364-374)
+    if n > 1:
+        gap = q_pos[1:] - q_pos[:-1] - q_len[:-1]
+        jump = np.abs(pd[:-1] - pd[1:]) > cfg.chain_pd_break
+        brk = np.nonzero((gap > cfg.max_seed_gap) | jump)[0] + 1
+    else:
+        brk = np.zeros(0, dtype=np.int64)
+    bounds = np.concatenate([[0], brk, [n]]).astype(np.int64)
+
+    blocks: List[Block] = []
+    for bi in range(len(bounds) - 1):
+        s, e = int(bounds[bi]), int(bounds[bi + 1])
+        score = int(q_len[s:e].sum())
+        region = int(q_pos[e - 1] + q_len[e - 1] - q_pos[s])
+        # AddAlnBlock filters (src/GSAlign.cpp:38)
+        if score < cfg.min_aln_block_score or region < cfg.min_aln_length or \
+                (score < 1000 and score < region * 0.05):
+            continue
+        blocks.append(Block(
+            q_pos=q_pos[s:e].copy(), r_pos=r_pos[s:e].copy(),
+            q_len=q_len[s:e].copy(), r_len=q_len[s:e].copy(),
+            b_seed=np.ones(e - s, dtype=bool), score=score,
+            aln1=[None] * (e - s), aln2=[None] * (e - s)))
+    return blocks
+
+
+def generate_alignment_blocks(q_pos: np.ndarray, r_pos: np.ndarray,
+                              length: np.ndarray, cfg: AlignConfig,
+                              genome_size: int) -> List[Block]:
+    """Stages S2+S3: group PosDiff-sorted seeds, analyze each group
+    (SeedGrouping + GenerateAlignmentBlocks, src/GSAlign.cpp:126-143,377-391).
+    """
+    pd = r_pos - q_pos
+    blocks: List[Block] = []
+    for s, e in seed_grouping(pd, cfg.max_indel_size):
+        if int(length[s:e].sum()) < cfg.min_aln_block_score:
+            continue
+        blocks.extend(seed_group_analysis(
+            q_pos[s:e], r_pos[s:e], length[s:e], cfg, genome_size))
+    return blocks

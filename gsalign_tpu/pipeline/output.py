@@ -1,0 +1,216 @@
+"""MAF / ALN writers and dotplot.
+
+Byte-level emulation of OutputMAF / OutputAlignment (src/tools.cpp:142-286)
+including their quirks: seed regions copy *query* characters into both rows,
+the qry (MAF) / both (ALN) names are space-padded to the longer of the two,
+and a block extending past its chromosome end is clipped in place (mutating
+the block's score/aln_len and its last pair) before emission.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from gsalign_tpu.genome.coords import ChrLocIndex, gen_coordinate_info
+from gsalign_tpu.pipeline.chain import Block
+
+# ReverseMap (src/tools.cpp:3-31): complement for ACGTUN upper/lower + '-'.
+REVERSE_MAP = np.zeros(256, dtype=np.uint8)
+for _src, _dst in ((45, 45), (65, 84), (67, 71), (71, 67), (78, 78),
+                   (84, 65), (85, 65), (97, 84), (99, 71), (103, 67),
+                   (110, 78), (116, 65), (117, 65)):
+    REVERSE_MAP[_src] = _dst
+
+
+def self_complementary(arr: np.ndarray) -> np.ndarray:
+    """SelfComplementarySeq (src/tools.cpp:33-44): reverse + complement."""
+    return REVERSE_MAP[arr[::-1]]
+
+
+def _build_rows(blk: Block, qry_chars: np.ndarray):
+    """Concatenate per-pair rows (src/tools.cpp:170-184): seed pairs copy the
+    query characters into BOTH rows; non-seed pairs use their aln strings."""
+    parts1, parts2 = [], []
+    for j in range(blk.n):
+        if blk.b_seed[j]:
+            q = qry_chars[int(blk.q_pos[j]): int(blk.q_pos[j] + blk.q_len[j])]
+            parts1.append(q)
+            parts2.append(q)
+        else:
+            parts1.append(blk.aln1[j])
+            parts2.append(blk.aln2[j])
+    a1 = np.concatenate(parts1) if parts1 else np.zeros(0, np.uint8)
+    a2 = np.concatenate(parts2) if parts2 else np.zeros(0, np.uint8)
+    return a1, a2
+
+
+def _clip_extension(blk: Block, chr_index: ChrLocIndex, a1, a2):
+    """Clip a block running past its chromosome end (src/tools.cpp:192-202).
+    Mutates blk (score/aln_len/last-pair lens); returns truncated rows."""
+    g = chr_index.genome
+    ref_idx = blk.coor.chromosome_idx
+    end = int(blk.r_pos[-1] + blk.r_len[-1])
+    if blk.coor.b_dir:
+        limit = int(g.offsets[ref_idx] + g.lengths[ref_idx])
+    else:
+        limit = int(chr_index.rev_loc[ref_idx] + g.lengths[ref_idx])
+    ext = end - limit
+    if ext > 0:
+        blk.aln_len -= ext
+        blk.score -= ext
+        blk.r_len[-1] -= ext
+        blk.q_len[-1] -= ext
+        a1 = a1[:blk.aln_len]
+        a2 = a2[:blk.aln_len]
+    return a1, a2
+
+
+def _pad_names(qry_name: str, ref_name: str):
+    if len(qry_name) > len(ref_name):
+        ref_name = ref_name + " " * (len(qry_name) - len(ref_name))
+    else:
+        qry_name = qry_name + " " * (len(ref_name) - len(qry_name))
+    return qry_name, ref_name
+
+
+def write_maf(path: str, blocks: List[Block], qry_name: str,
+              qry_chars: np.ndarray, chr_index: ChrLocIndex,
+              first_chromosome: bool, allow_duplication: bool) -> None:
+    """OutputMAF (src/tools.cpp:149-220)."""
+    g = chr_index.genome
+    qry_total = int(qry_chars.shape[0])
+    mode = "w" if first_chromosome else "a"
+    with open(path, mode) as fh:
+        if first_chromosome:
+            fh.write("##maf version=1\n")
+        for blk in blocks:
+            if not allow_duplication and blk.b_dup:
+                continue
+            a1, a2 = _build_rows(blk, qry_chars)
+            ref_idx = blk.coor.chromosome_idx
+            ref_name = g.names[ref_idx]
+            qn, _ = _pad_names(qry_name, ref_name)
+            a1, a2 = _clip_extension(blk, chr_index, a1, a2)
+            score = 1 if blk.b_dup else blk.score
+            gaps1 = int((a1 == ord("-")).sum())
+            gaps2 = int((a2 == ord("-")).sum())
+            chr_len = int(g.lengths[ref_idx])
+            if blk.coor.b_dir:
+                fh.write(f"a score={score}\n")
+                fh.write(f"s ref.{ref_name} {blk.coor.g_pos - 1} "
+                         f"{blk.aln_len - gaps1} + {chr_len} "
+                         f"{a1.tobytes().decode('latin1')}\n")
+                fh.write(f"s qry.{qn} {int(blk.q_pos[0])} "
+                         f"{blk.aln_len - gaps2} + {qry_total} "
+                         f"{a2.tobytes().decode('latin1')}\n\n")
+            else:
+                r_last = int(blk.r_pos[-1] + blk.r_len[-1] - 1)
+                gpos = gen_coordinate_info(chr_index, r_last).g_pos
+                a1 = self_complementary(a1)
+                a2 = self_complementary(a2)
+                q_start = qry_total - int(blk.q_pos[-1] + blk.q_len[-1])
+                fh.write(f"a score={score}\n")
+                fh.write(f"s ref.{ref_name} {gpos - 1} "
+                         f"{blk.aln_len - gaps1} + {chr_len} "
+                         f"{a1.tobytes().decode('latin1')}\n")
+                fh.write(f"s qry.{qn} {q_start} "
+                         f"{blk.aln_len - gaps2} + {qry_total} "
+                         f"{a2.tobytes().decode('latin1')}\n\n")
+
+
+def write_aln(path: str, blocks: List[Block], qry_name: str,
+              qry_chars: np.ndarray, chr_index: ChrLocIndex,
+              first_chromosome: bool, allow_duplication: bool) -> None:
+    """OutputAlignment (src/tools.cpp:222-286): 80-column pretty format."""
+    g = chr_index.genome
+    mode = "w" if first_chromosome else "a"
+    with open(path, mode) as fh:
+        for blk in blocks:
+            if not allow_duplication and blk.b_dup:
+                continue
+            a1, a2 = _build_rows(blk, qry_chars)
+            ref_idx = blk.coor.chromosome_idx
+            ref_name = g.names[ref_idx]
+            qn, rn = _pad_names(qry_name, ref_name)
+            a1, a2 = _clip_extension(blk, chr_index, a1, a2)
+            idy = int(1000 * (blk.score / blk.aln_len)) / 10.0 \
+                if blk.aln_len else 0.0
+            fh.write(f"#Identity = {blk.score} / {blk.aln_len} ({idy:.2f}%) "
+                     f"Orientation = "
+                     f"{'Forward' if blk.coor.b_dir else 'Reverse'}\n\n")
+            pos = 0
+            qry_pos = int(blk.q_pos[0]) + 1
+            ref_pos = blk.coor.g_pos
+            n = blk.aln_len
+            while pos < n:
+                stop = min(pos + 80, n)
+                seg1 = a1[pos:stop]
+                seg2 = a2[pos:stop]
+                p = 80 - int((seg1 == ord("-")).sum())
+                q = 80 - int((seg2 == ord("-")).sum())
+                fh.write(f"ref.{rn}\t{ref_pos:12d}\t"
+                         f"{seg1.tobytes().decode('latin1')}\n"
+                         f"qry.{qn}\t{qry_pos:12d}\t"
+                         f"{seg2.tobytes().decode('latin1')}\n\n")
+                pos += 80
+                ref_pos += p if blk.coor.b_dir else -p
+                qry_pos += q
+            fh.write("*" * 100 + "\n")
+
+
+def write_dotplot(prefix: str, qry_name: str, blocks: List[Block],
+                  chr_index: ChrLocIndex) -> list:
+    """Dotplot data (OutputDotplot, src/DotPloting.cpp:10-71): top-5 ref
+    chromosomes by score; rendered with matplotlib (PostScript out) instead
+    of shelling to gnuplot. Returns the written file paths."""
+    g = chr_index.genome
+    if not blocks:
+        return []
+    scores = np.zeros(g.n_chr, dtype=np.int64)
+    for blk in blocks:
+        if blk.score > 0:
+            scores[blk.coor.chromosome_idx] += blk.score
+    chosen = [(i, int(s)) for i, s in enumerate(scores) if s >= 1000]
+    if not chosen:
+        return []
+    chosen.sort(key=lambda t: -t[1])
+    chosen = chosen[:5]
+    chosen_set = {i for i, _ in chosen}
+
+    segments = {i: [] for i in chosen_set}
+    for blk in blocks:
+        ci = blk.coor.chromosome_idx
+        if blk.score > 0 and ci in chosen_set:
+            q1 = int(blk.q_pos[0]) + 1
+            q2 = int(blk.q_pos[-1] + blk.q_len[-1] - 1) + 1
+            r1 = gen_coordinate_info(chr_index, int(blk.r_pos[0])).g_pos
+            r2 = gen_coordinate_info(
+                chr_index, int(blk.r_pos[-1] + blk.r_len[-1] - 1)).g_pos
+            segments[ci].append((q1, r1, q2, r2))
+
+    written = []
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return []
+    fig, ax = plt.subplots(figsize=(8, 8))
+    colors = ["red", "blue", "green", "magenta", "orange"]
+    for k, (ci, _) in enumerate(chosen):
+        xs, ys = [], []
+        for q1, r1, q2, r2 in segments[ci]:
+            xs += [q1, q2, np.nan]
+            ys += [r1, r2, np.nan]
+        ax.plot(xs, ys, color=colors[k % len(colors)], linewidth=1.0,
+                label=g.names[ci])
+    ax.set_xlabel(f"Query ({qry_name})")
+    ax.set_ylabel("Ref")
+    ax.legend()
+    out = f"{prefix}-{qry_name}.ps"
+    fig.savefig(out)
+    plt.close(fig)
+    written.append(out)
+    return written

@@ -1,0 +1,127 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gsalign_tpu.genome.packing import Genome
+from gsalign_tpu.index.fmindex import (build_fmindex, occ4_np, sa_lookup_np)
+from gsalign_tpu.ops import rank as rank_ops
+from tests.helpers import naive_suffix_array, random_genome
+
+
+def make_genome(codes: np.ndarray) -> Genome:
+    return Genome(names=["c"], lengths=np.asarray([len(codes)]),
+                  offsets=np.asarray([0]), holes=[], codes_fwd=codes)
+
+
+@pytest.fixture(scope="module")
+def fm():
+    rng = np.random.default_rng(7)
+    codes = random_genome(rng, 600)
+    g = make_genome(codes)
+    return build_fmindex(g, sa_intv=8, prefer_device=False)
+
+
+@pytest.fixture(scope="module")
+def sa_full(fm):
+    return naive_suffix_array(fm.genome.codes_fwd_rc())
+
+
+def brute_occ4(text_bwt: np.ndarray, m: int) -> np.ndarray:
+    return np.asarray([(text_bwt[:m] == c).sum() for c in range(4)])
+
+
+def reference_bwt(fm, sa_full):
+    text = fm.genome.codes_fwd_rc()
+    mask = sa_full > 0
+    return text[sa_full[mask] - 1]
+
+
+def test_l2_and_primary(fm, sa_full):
+    text = fm.genome.codes_fwd_rc()
+    counts = np.bincount(text, minlength=4)[:4]
+    assert fm.l2.tolist() == [0] + np.cumsum(counts).tolist()
+    assert sa_full[fm.primary] == 0
+
+
+def test_occ4_np_vs_brute(fm, sa_full):
+    bwt = reference_bwt(fm, sa_full)
+    n = fm.seq_len
+    for k in [-1, 0, 1, 5, 127, 128, 129, 255, 300, n - 2, n - 1, n]:
+        if k == -1:
+            expect = np.zeros(4)
+        else:
+            ka = k - (1 if k >= fm.primary else 0)
+            expect = brute_occ4(bwt, ka + 1)
+        np.testing.assert_array_equal(occ4_np(fm, k), expect, err_msg=f"k={k}")
+
+
+def test_sa_lookup_np(fm, sa_full):
+    n = fm.seq_len
+    for k in range(0, n + 1, 37):
+        assert sa_lookup_np(fm, k) == sa_full[k], f"k={k}"
+
+
+def test_device_occ4_matches_np(fm):
+    dfm = rank_ops.DeviceFMIndex.from_host(fm)
+    n = fm.seq_len
+    ks = np.asarray([-1, 0, 1, 17, 127, 128, 200, n - 1, n], dtype=np.int32)
+    got = np.asarray(rank_ops.occ4(dfm, jnp.asarray(ks)))
+    for i, k in enumerate(ks):
+        np.testing.assert_array_equal(got[i], occ4_np(fm, int(k)),
+                                      err_msg=f"k={k}")
+
+
+def test_device_resolve_sa(fm, sa_full):
+    dfm = rank_ops.DeviceFMIndex.from_host(fm)
+    n = fm.seq_len
+    ks = np.arange(1, n + 1, 13, dtype=np.int32)
+    got = np.asarray(rank_ops.resolve_sa(dfm, jnp.asarray(ks)))
+    np.testing.assert_array_equal(got, sa_full[ks])
+
+
+def test_extend_forward_matches_naive(fm, sa_full):
+    """Forward extension must track occurrence counts of growing patterns.
+
+    All trials run as lanes of ONE batched extension so the jitted step
+    compiles once."""
+    import jax
+    from tests.helpers import naive_occurrences
+    dfm = rank_ops.DeviceFMIndex.from_host(fm)
+    text = fm.genome.codes_fwd_rc()
+    rng = np.random.default_rng(3)
+    n_tr, plen = 16, 20
+    starts = rng.integers(0, len(text) - 2 * plen, size=n_tr)
+    pats = np.stack([text[s:s + plen] for s in starts]).astype(np.int32)
+
+    step = jax.jit(rank_ops.extend_forward)
+    ik0, ik1, ik2 = jax.jit(rank_ops.init_interval)(
+        dfm, jnp.asarray(pats[:, 0]))
+    freqs = [np.asarray(ik2).copy()]
+    k0s = [np.asarray(ik0).copy()]
+    for j in range(1, plen):
+        nik0, nik1, nik2 = step(dfm, ik0, ik1, ik2, jnp.asarray(pats[:, j]))
+        alive = np.asarray(ik2) > 0
+        ik0 = jnp.where(alive, nik0, ik0)
+        ik1 = jnp.where(alive, nik1, ik1)
+        ik2 = jnp.where(alive, nik2, ik2)
+        freqs.append(np.asarray(ik2).copy())
+        k0s.append(np.asarray(ik0).copy())
+
+    for tr in range(n_tr):
+        for j in range(plen):
+            expect = len(naive_occurrences(text, pats[tr, :j + 1]))
+            got = int(freqs[j][tr])
+            if expect == 0:
+                # once dead, lanes freeze (may retain stale interval)
+                break
+            assert got == expect, f"trial={tr} j={j}"
+        # occurrence positions via SA ranks for the full surviving pattern
+        full = int(freqs[-1][tr])
+        if full > 0:
+            occ = sorted(naive_occurrences(text, pats[tr]))
+            ranks = np.full(64, int(k0s[-1][tr]), dtype=np.int32)
+            ranks[:full] = np.arange(int(k0s[-1][tr]),
+                                     int(k0s[-1][tr]) + full, dtype=np.int32)
+            got_pos = sorted(np.asarray(
+                rank_ops.resolve_sa(dfm, jnp.asarray(ranks)))[:full].tolist())
+            assert got_pos == occ
