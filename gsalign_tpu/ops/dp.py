@@ -43,9 +43,9 @@ def _dp_forward_single(q_codes, t_codes, ql, tl, L):
     """Direction bytes for one problem. q_codes/t_codes int32 [L] (pad 4)."""
     i32 = jnp.int32
     n_rows = 2 * L - 1
-    # reversed query padded both sides with wildcards: Q[r - t] = qrev_pad[L + ql-1-r + t]
-    qrev = q_codes[::-1]                        # qrev[i] = Q[L-1-i]; Q pads at end
-    # Q[j] for j in [0, ql): qrev[L-1-j]
+    # reversed (padded) query with wildcard guards both sides:
+    # qrev[k] = Q_padded[L-1-k], so Q[r-t] = qrev_pad[(2L-1-r) + t]
+    qrev = q_codes[::-1]
     qrev_pad = jnp.concatenate([jnp.full(L, WILDCARD, i32), qrev,
                                 jnp.full(L, WILDCARD, i32)])
 
@@ -61,8 +61,7 @@ def _dp_forward_single(q_codes, t_codes, ql, tl, L):
         y = jnp.where(in_top, y.at[r_eff].set(0), y)
 
         # s[t] = score(T[t], Q[r-t]); wildcard -> 0
-        # Q[r-t] = Q[(r_eff) - t] via qrev_pad gather: index = L + ql-1-r_eff + t
-        start = L + ql - 1 - r_eff
+        start = 2 * L - 1 - r_eff
         qrr = jax.lax.dynamic_slice(qrev_pad, (start,), (L,))
         is_wild = (t_codes >= WILDCARD) | (qrr >= WILDCARD)
         s = jnp.where(is_wild, 0,

@@ -1,0 +1,75 @@
+import numpy as np
+import pytest
+
+from gsalign_tpu.genome.packing import Genome
+from gsalign_tpu.index.fmindex import build_fmindex
+from gsalign_tpu.ops.rank import DeviceFMIndex
+from gsalign_tpu.ops.seeding import find_seeds
+from tests.helpers import naive_lmem_seeds, random_genome
+
+
+def make_fm(codes):
+    g = Genome(names=["c"], lengths=np.asarray([len(codes)]),
+               offsets=np.asarray([0]), holes=[], codes_fwd=codes)
+    return build_fmindex(g, sa_intv=8, prefer_device=False)
+
+
+def mutate(codes, rng, sub_rate=0.01, n_blocks=0):
+    out = codes.copy()
+    subs = rng.random(len(out)) < sub_rate
+    out[subs] = (out[subs] + rng.integers(1, 4, subs.sum())) % 4
+    return out.astype(np.uint8)
+
+
+def _sorted(seeds):
+    return sorted(seeds)
+
+
+@pytest.mark.parametrize("seed,chunk,sensitive", [
+    (1, 500, False), (2, 300, False), (3, 500, True)])
+def test_seeding_matches_naive(seed, chunk, sensitive):
+    rng = np.random.default_rng(seed)
+    ref = random_genome(rng, 2000)
+    fm = make_fm(ref)
+    dfm = DeviceFMIndex.from_host(fm)
+    qry = mutate(ref, rng, sub_rate=0.02)
+    # insert some ambiguity
+    qry[100:103] = 4
+
+    q_pos, r_pos, length = find_seeds(
+        dfm, qry, min_seed_length=12, max_seed_freq=100,
+        sensitive=sensitive, chunk=chunk)
+    got = _sorted(zip(q_pos.tolist(), r_pos.tolist(), length.tolist()))
+
+    text = fm.genome.codes_fwd_rc()
+    expect = _sorted(naive_lmem_seeds(
+        text, qry, min_seed_length=12, max_seed_freq=100, chunk=chunk,
+        sensitive=sensitive))
+    assert got == expect
+
+
+def test_seeding_output_sorted_by_posdiff():
+    rng = np.random.default_rng(9)
+    ref = random_genome(rng, 1500)
+    fm = make_fm(ref)
+    dfm = DeviceFMIndex.from_host(fm)
+    qry = mutate(ref, rng, sub_rate=0.01)
+    q_pos, r_pos, length = find_seeds(dfm, qry, min_seed_length=12,
+                                      chunk=400)
+    pd = r_pos - q_pos
+    key = list(zip(pd.tolist(), q_pos.tolist()))
+    assert key == sorted(key)
+
+
+def test_seeding_rc_strand():
+    """Seeds on the reverse-complement strand are found (rPos >= N)."""
+    rng = np.random.default_rng(11)
+    ref = random_genome(rng, 800)
+    fm = make_fm(ref)
+    dfm = DeviceFMIndex.from_host(fm)
+    # query = RC of a forward slice -> matches in the RC half of the text
+    sl = ref[100:400]
+    qry = (3 - sl[::-1]).astype(np.uint8)
+    q_pos, r_pos, length = find_seeds(dfm, qry, min_seed_length=12, chunk=500)
+    assert len(q_pos) > 0
+    assert (r_pos >= fm.genome.size).any()
