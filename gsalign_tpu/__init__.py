@@ -19,10 +19,21 @@ A from-scratch JAX/XLA/Pallas re-design of the capabilities of GSAlign
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
 
 # Genome coordinates over fwd+RC text exceed 2^31 for >1 Gbp genomes and the
 # prefix-doubling sort uses int64 composite keys; 64-bit must be on globally.
 _jax.config.update("jax_enable_x64", True)
+
+# Remote-TPU compiles are expensive; persist them across processes.
+_cache_dir = _os.environ.get("GSALIGN_JIT_CACHE",
+                             _os.path.expanduser("~/.cache/gsalign_tpu_jit"))
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # older jax without the knobs
+    pass
 
 from gsalign_tpu.config import AlignConfig  # noqa: F401,E402

@@ -181,11 +181,14 @@ def align_fragments(ref_frags, qry_frags, bucket_sizes=(64, 128, 256, 512,
         max_batch = max(1, batch_cells // (Lb * Lb))
         for s in range(0, len(idxs), max_batch):
             part = idxs[s: s + max_batch]
-            B = len(part)
+            # pad the batch to a power of two so compiled shapes are reused
+            B = 8
+            while B < len(part):
+                B *= 2
             q = np.full((B, Lb), WILDCARD, dtype=np.int32)
             t = np.full((B, Lb), WILDCARD, dtype=np.int32)
-            ql = np.zeros(B, dtype=np.int32)
-            tl = np.zeros(B, dtype=np.int32)
+            ql = np.ones(B, dtype=np.int32)
+            tl = np.ones(B, dtype=np.int32)
             for bi, i in enumerate(part):
                 rf, qf = ref_frags[i], qry_frags[i]
                 q[bi, :len(rf)] = rf

@@ -59,12 +59,18 @@ def _field_match_bits(words: jnp.ndarray, c: int) -> jnp.ndarray:
     return (~x) & ((~x) >> jnp.uint32(1)) & _LOW
 
 
+_CHAR_PATTERNS = np.asarray(
+    [0x00000000, 0x55555555, 0xAAAAAAAA, 0xFFFFFFFF], dtype=np.uint32)
+
+
 def occ4(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     """Counts of each base in B'[0..k_adj], batched. k int32 [B] (-1 -> 0).
 
-    Mirrors bwt_occ4 (src/bwt_search.cpp:69-86) with the base-selection mask
-    applied to the match-bit vector, which removes the reference's
-    count-of-A correction term.
+    Mirrors bwt_occ4 (src/bwt_search.cpp:69-86) with two changes that shrink
+    the op count for the hot seeding loop: the base-selection mask is applied
+    to the match-bit vector (no count-of-A correction needed), and all four
+    characters are counted in one broadcasted pass over a [B, 8, 4] tensor
+    instead of an unrolled per-char loop.
     """
     valid = k >= 0
     ka = k - (k >= dfm.primary).astype(k.dtype)
@@ -81,11 +87,11 @@ def occ4(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     shift = jnp.clip(32 - 2 * limit, 0, 31).astype(jnp.uint32)
     base_mask = jnp.where(limit == 0, jnp.uint32(0),
                           jnp.uint32(0xFFFFFFFF) << shift)   # keep first `limit`
-    counts = []
-    for c in range(4):
-        bits = _field_match_bits(words, c) & base_mask
-        counts.append(jnp.sum(jax.lax.population_count(bits), axis=1))
-    cnt = cp + jnp.stack(counts, axis=1).astype(cp.dtype)
+    x = words[:, :, None] ^ jnp.asarray(_CHAR_PATTERNS)[None, None, :]
+    nx = ~x
+    bits = nx & (nx >> jnp.uint32(1)) & _LOW & base_mask[:, :, None]
+    counts = jnp.sum(jax.lax.population_count(bits), axis=1)  # [B, 4]
+    cnt = cp + counts.astype(cp.dtype)
     return jnp.where(valid[:, None], cnt, 0)
 
 
@@ -100,12 +106,14 @@ def extend_forward(dfm: DeviceFMIndex, ik0, ik1, ik2, nt):
     """One forward-extension step of the bi-interval (pattern, RC-pattern).
 
     Batched equivalent of the loop body in BWT_Search
-    (src/bwt_search.cpp:159-171): occ4 at the RC interval's two ends,
-    derive all four child intervals, pick child 3-nt.
+    (src/bwt_search.cpp:159-171): occ4 at the RC interval's two ends (fused
+    into one [2B] query), derive all four child intervals, pick child 3-nt.
     Returns (ok0, ok1, ok2) for the chosen child (ok2 == 0 => dead end).
     """
-    tk = occ4(dfm, ik1 - 1)                      # [B,4]
-    tl = occ4(dfm, ik1 - 1 + ik2)
+    B = ik0.shape[0]
+    both = occ4(dfm, jnp.concatenate([ik1 - 1, ik1 - 1 + ik2]))
+    tk = both[:B]                                # [B,4]
+    tl = both[B:]
     x1_all = dfm.l2[None, :4] + 1 + tk           # [B,4]
     s_all = tl - tk
     has_primary = ((ik1 <= dfm.primary) &

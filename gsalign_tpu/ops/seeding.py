@@ -59,10 +59,7 @@ def _seed_scan(dfm: DeviceFMIndex,
         ext_start=jnp.zeros(B, i32),
         ext_pos=jnp.zeros(B, i32),
         ik0=jnp.zeros(B, i32), ik1=jnp.zeros(B, i32), ik2=jnp.zeros(B, i32),
-        out_q=jnp.zeros((B, max_out), i32),
-        out_len=jnp.zeros((B, max_out), i32),
-        out_k0=jnp.zeros((B, max_out), i32),
-        out_freq=jnp.zeros((B, max_out), i32),
+        out=jnp.zeros((B, max_out, 4), i32),     # (qPos, len, k0, freq)
         out_n=jnp.zeros(B, i32),
     )
 
@@ -106,19 +103,14 @@ def _seed_scan(dfm: DeviceFMIndex,
             (0 if sensitive else 1) * (length + 1),
             ext_start + 1)
 
-        # emit into per-lane buffers
+        # emit into per-lane buffers (one packed scatter)
         slot = jnp.minimum(s["out_n"], max_out - 1)
         do_emit = is_hit & (s["out_n"] < max_out)
         rows = jnp.arange(B)
-
-        def emit(buf, val):
-            new = buf.at[rows, slot].set(jnp.where(do_emit, val, buf[rows, slot]))
-            return new
-
-        out_q = emit(s["out_q"], ext_start)
-        out_len = emit(s["out_len"], length)
-        out_k0 = emit(s["out_k0"], ik0)
-        out_freq = emit(s["out_freq"], freq)
+        record = jnp.stack([ext_start, length, ik0, freq], axis=1)  # [B,4]
+        old = s["out"][rows, slot]
+        out = s["out"].at[rows, slot].set(
+            jnp.where(do_emit[:, None], record, old))
         out_n = s["out_n"] + do_emit.astype(i32)
 
         # ---- state updates ----
@@ -138,13 +130,12 @@ def _seed_scan(dfm: DeviceFMIndex,
             phase=new_phase, cursor=new_cursor,
             ext_start=new_ext_start, ext_pos=new_ext_pos,
             ik0=new_ik0, ik1=new_ik1, ik2=new_ik2,
-            out_q=out_q, out_len=out_len, out_k0=out_k0, out_freq=out_freq,
-            out_n=out_n,
+            out=out, out_n=out_n,
         )
 
     final = jax.lax.while_loop(cond, body, init_state)
-    return (final["out_q"], final["out_len"], final["out_k0"],
-            final["out_freq"], final["out_n"])
+    o = final["out"]
+    return o[:, :, 0], o[:, :, 1], o[:, :, 2], o[:, :, 3], final["out_n"]
 
 
 def find_seeds(dfm: DeviceFMIndex,
@@ -153,18 +144,25 @@ def find_seeds(dfm: DeviceFMIndex,
                max_seed_freq: int = 100,
                sensitive: bool = False,
                chunk: int = 10000,
-               pad_to: int | None = None
+               pad_to: int | None = None,
+               mesh=None,
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Find all LMEM seeds of one query chromosome.
 
     Returns (q_pos, r_pos, length) int64 arrays sorted by
     (PosDiff, qPos) — the order SeedVec holds after the locked merge in
     IdentifyLocalMEM (src/GSAlign.cpp:95-104, CompByPosDiff).
+
+    With a mesh, the lane axis is sharded over its "frag" axis and the
+    FM-index is replicated (see parallel/mesh.py).
     """
     L = int(query_codes.shape[0])
     n_lanes = max(1, -(-L // chunk))
     if pad_to is not None:
         n_lanes = max(n_lanes, -(-pad_to // chunk))
+    if mesh is not None:
+        from gsalign_tpu.parallel import mesh as mesh_lib
+        n_lanes = mesh_lib.pad_to_multiple(n_lanes, mesh.devices.size)
     Lpad = n_lanes * chunk
     qc = np.full(Lpad, 4, dtype=np.uint8)
     qc[:L] = query_codes
@@ -172,9 +170,20 @@ def find_seeds(dfm: DeviceFMIndex,
     stops = np.minimum(starts + chunk, L).astype(np.int32)
     stops = np.maximum(stops, starts)  # lanes past L: empty
 
+    if mesh is not None:
+        from gsalign_tpu.parallel import mesh as mesh_lib
+        dfm = mesh_lib.shard_index(dfm, mesh)
+        qc_dev = jax.device_put(jnp.asarray(qc), mesh_lib.replicated(mesh))
+        starts_dev = mesh_lib.shard_lanes(starts, mesh, 0)
+        stops_dev = mesh_lib.shard_lanes(stops, mesh, 0)
+    else:
+        qc_dev = jnp.asarray(qc)
+        starts_dev = jnp.asarray(starts)
+        stops_dev = jnp.asarray(stops)
+
     max_out = chunk // (5 if sensitive else (min_seed_length + 1)) + 2
     out_q, out_len, out_k0, out_freq, out_n = _seed_scan(
-        dfm, jnp.asarray(qc), jnp.asarray(starts), jnp.asarray(stops),
+        dfm, qc_dev, starts_dev, stops_dev,
         min_seed_length=min_seed_length, max_seed_freq=max_seed_freq,
         sensitive=sensitive, max_out=max_out)
 

@@ -62,10 +62,8 @@ def generate_alignments(blocks: List[Block], qry_chars: np.ndarray,
                 aln_len += q_len
                 blk.aln1[j] = np.full(q_len, _GAP, dtype=np.uint8)
                 blk.aln2[j] = qry_chars[q_pos:q_pos + q_len].copy()
-            elif q_len == r_len and fragpair_mismatch(
-                    ref_chars, qry_chars, r_pos, q_pos, q_len) <= 5:
-                mism = fragpair_mismatch(ref_chars, qry_chars, r_pos, q_pos,
-                                         q_len)
+            elif q_len == r_len and (mism := fragpair_mismatch(
+                    ref_chars, qry_chars, r_pos, q_pos, q_len)) <= 5:
                 blk.aln1[j] = ref_chars[r_pos:r_pos + r_len].copy()
                 blk.aln2[j] = qry_chars[q_pos:q_pos + q_len].copy()
                 aln_len += q_len
