@@ -107,7 +107,22 @@ def build_suffix_array_jax(codes: np.ndarray) -> np.ndarray:
     return order.astype(np.int64)
 
 
+def build_suffix_array_native(codes: np.ndarray):
+    """O(n) SA-IS via the native library (native/sais.cpp); None if absent."""
+    from gsalign_tpu import native_lib
+    n = int(codes.shape[0])
+    t = np.empty(n + 1, dtype=np.uint8)
+    t[:n] = codes + 1
+    t[n] = 0
+    return native_lib.sais(t)
+
+
 def build_suffix_array(codes: np.ndarray, prefer_device: bool = True) -> np.ndarray:
+    """Preference order: native SA-IS (fastest, O(n), any size) -> device
+    prefix doubling -> numpy prefix doubling."""
+    sa = build_suffix_array_native(codes)
+    if sa is not None:
+        return sa
     if prefer_device and codes.shape[0] >= (1 << 16):
         try:
             return build_suffix_array_jax(codes)

@@ -35,3 +35,18 @@ def test_jax_suffix_array_repetitive():
     codes = np.tile(np.array([0, 1, 2, 3, 0, 1], dtype=np.uint8), 500)
     np.testing.assert_array_equal(build_suffix_array_jax(codes),
                                   build_suffix_array_np(codes))
+
+
+def test_native_sais_matches_naive():
+    from gsalign_tpu.index.suffix_array import build_suffix_array_native
+    for n in [1, 7, 100, 3000]:
+        rng = np.random.default_rng(n + 5)
+        codes = random_genome(rng, n)
+        got = build_suffix_array_native(codes)
+        if got is None:
+            import pytest
+            pytest.skip("native lib unavailable")
+        np.testing.assert_array_equal(got, naive_suffix_array(codes))
+    reps = np.tile(np.array([0, 1, 0], dtype=np.uint8), 500)
+    np.testing.assert_array_equal(build_suffix_array_native(reps),
+                                  naive_suffix_array(reps))
