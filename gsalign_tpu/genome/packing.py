@@ -128,13 +128,21 @@ class Genome:
 
     def codes_fwd_rc(self) -> np.ndarray:
         """The 2N-base index text: forward genome + reverse complement."""
-        rc = (3 - self.codes_fwd[::-1]).astype(np.uint8)
-        return np.concatenate([self.codes_fwd, rc])
+        cached = getattr(self, "_codes2_cache", None)
+        if cached is None:
+            rc = (3 - self.codes_fwd[::-1]).astype(np.uint8)
+            cached = np.concatenate([self.codes_fwd, rc])
+            object.__setattr__(self, "_codes2_cache", cached)
+        return cached
 
     def chars_fwd_rc(self) -> np.ndarray:
         """ASCII 'ACGT' rendering of the 2N text (reference RefSequence,
         src/bwt_index.cpp:193-227; N positions appear as their random base)."""
-        return _CODE2CHAR[self.codes_fwd_rc()]
+        cached = getattr(self, "_chars2_cache", None)
+        if cached is None:
+            cached = _CODE2CHAR[self.codes_fwd_rc()]
+            object.__setattr__(self, "_chars2_cache", cached)
+        return cached
 
 
 def chars_to_codes(seq_ascii: np.ndarray) -> np.ndarray:

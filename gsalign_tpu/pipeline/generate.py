@@ -6,11 +6,15 @@ all-gap rows; equal-length pairs with <= 5 mismatches pair up directly;
 everything else goes to the batched device DP kernel (ops/dp.py) — all DP
 problems across all blocks are collected first and dispatched in padded,
 size-bucketed batches, replacing the reference's per-pair pthread striding.
-"""
+
+Vectorization: per-pair classification and the equal-length mismatch counts
+run as concatenated segmented numpy ops over all pairs of all blocks at
+once; aligned rows are only materialized for DP pairs (bytes), everything
+else is derived on demand from the raw sequences (see pair_rows)."""
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Tuple
 
 import numpy as np
 
@@ -37,52 +41,90 @@ def fragpair_mismatch(ref_chars: np.ndarray, qry_chars: np.ndarray,
     return int(((qf != 4) & (qf != rf)).sum())
 
 
+def _segment_indices(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    rep = np.repeat(starts, lens)
+    base = np.repeat(np.cumsum(lens) - lens, lens)
+    return rep + (np.arange(total, dtype=np.int64) - base)
+
+
+def pair_rows(blk: Block, j: int, qry_chars: np.ndarray,
+              ref_chars: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Aligned rows (aln1=ref, aln2=qry) for a non-seed pair, materializing
+    the implied rows of non-DP pairs on demand."""
+    if blk.aln1[j] is not None:
+        return blk.aln1[j], blk.aln2[j]
+    q_pos, r_pos = int(blk.q_pos[j]), int(blk.r_pos[j])
+    q_len, r_len = int(blk.q_len[j]), int(blk.r_len[j])
+    if q_len == 0:
+        return (ref_chars[r_pos:r_pos + r_len],
+                np.full(r_len, _GAP, dtype=np.uint8))
+    if r_len == 0:
+        return (np.full(q_len, _GAP, dtype=np.uint8),
+                qry_chars[q_pos:q_pos + q_len])
+    return (ref_chars[r_pos:r_pos + r_len], qry_chars[q_pos:q_pos + q_len])
+
+
 def generate_alignments(blocks: List[Block], qry_chars: np.ndarray,
                         ref_chars: np.ndarray, cfg: AlignConfig,
                         dp_fn=None) -> None:
-    """Fill aln1/aln2 for all non-seed pairs; set per-block score/aln_len."""
-    dp_jobs = []          # (block_idx, pair_idx, ref_codes, qry_codes)
+    """Fill aln rows for DP pairs; set per-block score/aln_len."""
+    ref_codes = NT4_TABLE[ref_chars]
+    qry_codes = NT4_TABLE[qry_chars]
+
+    dp_jobs = []          # (block_idx, pair_idx)
     for bi, blk in enumerate(blocks):
-        blk.score = 0
-        blk.aln_len = 0
-        score = 0
-        aln_len = 0
-        for j in range(blk.n):
-            if blk.b_seed[j]:
-                aln_len += int(blk.q_len[j])
-                score += int(blk.q_len[j])
-                continue
-            q_pos, r_pos = int(blk.q_pos[j]), int(blk.r_pos[j])
-            q_len, r_len = int(blk.q_len[j]), int(blk.r_len[j])
-            if q_len == 0:
-                aln_len += r_len
-                blk.aln1[j] = ref_chars[r_pos:r_pos + r_len].copy()
-                blk.aln2[j] = np.full(r_len, _GAP, dtype=np.uint8)
-            elif r_len == 0:
-                aln_len += q_len
-                blk.aln1[j] = np.full(q_len, _GAP, dtype=np.uint8)
-                blk.aln2[j] = qry_chars[q_pos:q_pos + q_len].copy()
-            elif q_len == r_len and (mism := fragpair_mismatch(
-                    ref_chars, qry_chars, r_pos, q_pos, q_len)) <= 5:
-                blk.aln1[j] = ref_chars[r_pos:r_pos + r_len].copy()
-                blk.aln2[j] = qry_chars[q_pos:q_pos + q_len].copy()
-                aln_len += q_len
-                score += q_len - mism
-            else:
-                rf = NT4_TABLE[ref_chars[r_pos:r_pos + r_len]].astype(np.int32)
-                qf = NT4_TABLE[qry_chars[q_pos:q_pos + q_len]].astype(np.int32)
-                dp_jobs.append((bi, j, rf, qf))
+        n = blk.n
+        blk.aln1 = [None] * n
+        blk.aln2 = [None] * n
+        seeds = blk.b_seed
+        q_len = blk.q_len
+        r_len = blk.r_len
+        is_gap_r = (~seeds) & (q_len == 0)
+        is_gap_q = (~seeds) & (r_len == 0) & (q_len > 0)
+        is_eq = (~seeds) & (q_len == r_len) & (q_len > 0)
+        # vectorized mismatch counts for equal-length candidates
+        eq_idx = np.nonzero(is_eq)[0]
+        mism = np.zeros(n, dtype=np.int64)
+        if eq_idx.size:
+            lens = q_len[eq_idx]
+            qi = _segment_indices(blk.q_pos[eq_idx], lens)
+            ri = _segment_indices(blk.r_pos[eq_idx], lens)
+            qf = qry_codes[qi]
+            bad = (qf != 4) & (qf != ref_codes[ri])
+            bounds = np.cumsum(lens)[:-1]
+            mism[eq_idx] = np.add.reduceat(
+                bad, np.concatenate([[0], bounds])) if lens.size else 0
+            # reduceat quirk: empty segments impossible here (q_len > 0)
+        direct = is_eq & (mism <= 5)
+        needs_dp = (~seeds) & (q_len > 0) & (r_len > 0) & ~direct
+
+        score = int(q_len[seeds].sum()) + \
+            int((q_len[direct] - mism[direct]).sum())
+        aln_len = int(q_len[seeds].sum()) + int(q_len[direct].sum()) + \
+            int(r_len[is_gap_r].sum()) + int(q_len[is_gap_q].sum())
         blk.score = score
         blk.aln_len = aln_len
+        for j in np.nonzero(needs_dp)[0]:
+            dp_jobs.append((bi, int(j)))
 
     if dp_jobs:
-        ref_frags = [job[2] for job in dp_jobs]
-        qry_frags = [job[3] for job in dp_jobs]
+        ref_frags = []
+        qry_frags = []
+        for bi, j in dp_jobs:
+            blk = blocks[bi]
+            r_pos, q_pos = int(blk.r_pos[j]), int(blk.q_pos[j])
+            ref_frags.append(
+                ref_codes[r_pos:r_pos + int(blk.r_len[j])].astype(np.int32))
+            qry_frags.append(
+                qry_codes[q_pos:q_pos + int(blk.q_len[j])].astype(np.int32))
         kwargs = {} if dp_fn is None else {"dp_fn": dp_fn}
         ops_list = dp_ops.align_fragments(
             ref_frags, qry_frags, bucket_sizes=cfg.dp_buckets,
             batch_cells=cfg.dp_batch_cells, **kwargs)
-        for (bi, j, _, _), ops in zip(dp_jobs, ops_list):
+        for (bi, j), ops in zip(dp_jobs, ops_list):
             blk = blocks[bi]
             q_pos, r_pos = int(blk.q_pos[j]), int(blk.r_pos[j])
             q_len, r_len = int(blk.q_len[j]), int(blk.r_len[j])

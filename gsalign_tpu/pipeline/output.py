@@ -29,9 +29,11 @@ def self_complementary(arr: np.ndarray) -> np.ndarray:
     return REVERSE_MAP[arr[::-1]]
 
 
-def _build_rows(blk: Block, qry_chars: np.ndarray):
+def _build_rows(blk: Block, qry_chars: np.ndarray, ref_chars: np.ndarray):
     """Concatenate per-pair rows (src/tools.cpp:170-184): seed pairs copy the
-    query characters into BOTH rows; non-seed pairs use their aln strings."""
+    query characters into BOTH rows; non-seed pairs use their (possibly
+    implied) aligned rows."""
+    from gsalign_tpu.pipeline.generate import pair_rows
     parts1, parts2 = [], []
     for j in range(blk.n):
         if blk.b_seed[j]:
@@ -39,16 +41,22 @@ def _build_rows(blk: Block, qry_chars: np.ndarray):
             parts1.append(q)
             parts2.append(q)
         else:
-            parts1.append(blk.aln1[j])
-            parts2.append(blk.aln2[j])
+            a1, a2 = pair_rows(blk, j, qry_chars, ref_chars)
+            parts1.append(a1)
+            parts2.append(a2)
     a1 = np.concatenate(parts1) if parts1 else np.zeros(0, np.uint8)
     a2 = np.concatenate(parts2) if parts2 else np.zeros(0, np.uint8)
     return a1, a2
 
 
-def _clip_extension(blk: Block, chr_index: ChrLocIndex, a1, a2):
+def _clip_extension(blk: Block, chr_index: ChrLocIndex, a1, a2,
+                    qry_chars: np.ndarray, ref_chars: np.ndarray):
     """Clip a block running past its chromosome end (src/tools.cpp:192-202).
-    Mutates blk (score/aln_len/last-pair lens); returns truncated rows."""
+    Mutates blk (score/aln_len/last-pair lens); returns truncated rows.
+
+    The reference truncates only the concatenated row buffer; the per-pair
+    aln strings keep their pre-clip content (the later variant walk reads
+    them unclipped), so an implied last pair is materialized first."""
     g = chr_index.genome
     ref_idx = blk.coor.chromosome_idx
     end = int(blk.r_pos[-1] + blk.r_len[-1])
@@ -58,6 +66,12 @@ def _clip_extension(blk: Block, chr_index: ChrLocIndex, a1, a2):
         limit = int(chr_index.rev_loc[ref_idx] + g.lengths[ref_idx])
     ext = end - limit
     if ext > 0:
+        last = blk.n - 1
+        if not blk.b_seed[last] and blk.aln1[last] is None:
+            from gsalign_tpu.pipeline.generate import pair_rows
+            blk.aln1[last], blk.aln2[last] = (
+                arr.copy() for arr in pair_rows(blk, last, qry_chars,
+                                                ref_chars))
         blk.aln_len -= ext
         blk.score -= ext
         blk.r_len[-1] -= ext
@@ -88,11 +102,13 @@ def write_maf(path: str, blocks: List[Block], qry_name: str,
         for blk in blocks:
             if not allow_duplication and blk.b_dup:
                 continue
-            a1, a2 = _build_rows(blk, qry_chars)
+            a1, a2 = _build_rows(blk, qry_chars,
+                                 chr_index.genome.chars_fwd_rc())
             ref_idx = blk.coor.chromosome_idx
             ref_name = g.names[ref_idx]
             qn, _ = _pad_names(qry_name, ref_name)
-            a1, a2 = _clip_extension(blk, chr_index, a1, a2)
+            a1, a2 = _clip_extension(blk, chr_index, a1, a2, qry_chars,
+                                     chr_index.genome.chars_fwd_rc())
             score = 1 if blk.b_dup else blk.score
             gaps1 = int((a1 == ord("-")).sum())
             gaps2 = int((a2 == ord("-")).sum())
@@ -130,11 +146,13 @@ def write_aln(path: str, blocks: List[Block], qry_name: str,
         for blk in blocks:
             if not allow_duplication and blk.b_dup:
                 continue
-            a1, a2 = _build_rows(blk, qry_chars)
+            a1, a2 = _build_rows(blk, qry_chars,
+                                 chr_index.genome.chars_fwd_rc())
             ref_idx = blk.coor.chromosome_idx
             ref_name = g.names[ref_idx]
             qn, rn = _pad_names(qry_name, ref_name)
-            a1, a2 = _clip_extension(blk, chr_index, a1, a2)
+            a1, a2 = _clip_extension(blk, chr_index, a1, a2, qry_chars,
+                                     chr_index.genome.chars_fwd_rc())
             idy = int(1000 * (blk.score / blk.aln_len)) / 10.0 \
                 if blk.aln_len else 0.0
             fh.write(f"#Identity = {blk.score} / {blk.aln_len} ({idy:.2f}%) "

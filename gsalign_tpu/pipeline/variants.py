@@ -9,6 +9,11 @@ Quirks preserved for parity:
 - SNVs are skipped when the query base is ambiguous (nt4 == 4);
 - variants from reverse-strand blocks carry reverse-strand coordinates and
   reverse-complemented alleles (rPos >= N), exactly as the reference emits.
+
+Variants are appended in block/pair/column order (matching the reference's
+emission order, which the final stable (chr,pos) sort preserves for ties);
+reference-coordinate -> chromosome-position conversion is deferred and done
+in one vectorized batch at the end.
 """
 
 from __future__ import annotations
@@ -29,10 +34,11 @@ _GAP = ord("-")
 @dataclasses.dataclass
 class Variant:
     chr_idx: int
-    pos: int
+    pos: int              # 1-based chromosome position (filled by finalize)
     ref_frag: bytes
     alt_frag: bytes
     type: int
+    r_pos: int = -1       # raw fwd+RC coordinate pending conversion
 
 
 class VariantCollector:
@@ -41,15 +47,28 @@ class VariantCollector:
         self.n_snv = 0
         self.n_ins = 0
         self.n_del = 0
+        self._finalized = 0
 
-    def add(self, v: Variant):
-        self.variants.append(v)
-        if v.type == TYPE_SNV:
+    def add_raw(self, chr_idx: int, r_pos: int, ref_frag: bytes,
+                alt_frag: bytes, typ: int):
+        self.variants.append(Variant(chr_idx, -1, ref_frag, alt_frag, typ,
+                                     r_pos))
+        if typ == TYPE_SNV:
             self.n_snv += 1
-        elif v.type == TYPE_INS:
+        elif typ == TYPE_INS:
             self.n_ins += 1
         else:
             self.n_del += 1
+
+    def finalize(self, chr_index: ChrLocIndex):
+        """Convert pending raw coordinates to 1-based chromosome positions."""
+        pending = self.variants[self._finalized:]
+        if pending:
+            r = np.asarray([v.r_pos for v in pending], dtype=np.int64)
+            _, g_pos, _ = chr_index.coordinate(r)
+            for v, g in zip(pending, g_pos):
+                v.pos = int(g)
+        self._finalized = len(self.variants)
 
 
 def identify_variants(blocks: List[Block], qry_chars: np.ndarray,
@@ -57,6 +76,9 @@ def identify_variants(blocks: List[Block], qry_chars: np.ndarray,
                       collector: VariantCollector) -> None:
     """Per-chromosome variant pass (VariantIdentification,
     src/SeqVariant.cpp:12-119). Blocks must carry .coor already."""
+    from gsalign_tpu.pipeline.generate import pair_rows
+    qry_codes = NT4_TABLE[qry_chars]
+    ref_codes = NT4_TABLE[ref_chars]
     for blk in blocks:
         if blk.b_dup:
             continue
@@ -68,37 +90,43 @@ def identify_variants(blocks: List[Block], qry_chars: np.ndarray,
             q_len, r_len = int(blk.q_len[j]), int(blk.r_len[j])
             if q_len == 0 and r_len == 0:
                 continue
-            if q_len == 0:      # deletion
+            if q_len == 0:      # deletion FragPair
                 ref_frag = bytes(ref_chars[r_pos - 1: r_pos + r_len])
-                pos = _gpos(chr_index, r_pos - 1)
                 alt = bytes(qry_chars[q_pos - 1: q_pos])
-                collector.add(Variant(chr_idx, pos, ref_frag, alt, TYPE_DEL))
-            elif r_len == 0:    # insertion
+                collector.add_raw(chr_idx, r_pos - 1, ref_frag, alt, TYPE_DEL)
+            elif r_len == 0:    # insertion FragPair
                 alt_frag = bytes(qry_chars[q_pos - 1: q_pos + q_len])
-                pos = _gpos(chr_index, r_pos - 1)
                 ref = bytes(ref_chars[r_pos - 1: r_pos])
-                collector.add(Variant(chr_idx, pos, ref, alt_frag, TYPE_INS))
+                collector.add_raw(chr_idx, r_pos - 1, ref, alt_frag, TYPE_INS)
             elif q_len == 1 and r_len == 1:
-                a1, a2 = blk.aln1[j], blk.aln2[j]
-                if NT4_TABLE[a1[0]] != NT4_TABLE[a2[0]] and \
-                        NT4_TABLE[a2[0]] != 4:
-                    pos = _gpos(chr_index, r_pos)
-                    collector.add(Variant(chr_idx, pos, bytes(a1[:1]),
-                                          bytes(a2[:1]), TYPE_SNV))
+                rc = ref_codes[r_pos]
+                qc = qry_codes[q_pos]
+                if rc != qc and qc != 4:
+                    collector.add_raw(chr_idx, r_pos,
+                                      bytes(ref_chars[r_pos:r_pos + 1]),
+                                      bytes(qry_chars[q_pos:q_pos + 1]),
+                                      TYPE_SNV)
+            elif blk.aln1[j] is None:
+                # gap-free implied pair: SNV columns only, vectorized
+                rf = ref_codes[r_pos:r_pos + r_len]
+                qf = qry_codes[q_pos:q_pos + q_len]
+                snv = np.nonzero((rf != qf) & (qf != 4))[0]
+                for d in snv:
+                    d = int(d)
+                    collector.add_raw(
+                        chr_idx, r_pos + d,
+                        bytes(ref_chars[r_pos + d:r_pos + d + 1]),
+                        bytes(qry_chars[q_pos + d:q_pos + d + 1]), TYPE_SNV)
             else:
-                _walk_alignment(blk.aln1[j], blk.aln2[j], q_pos, r_pos,
-                                chr_idx, qry_chars, ref_chars, chr_index,
-                                collector)
-
-
-def _gpos(chr_index: ChrLocIndex, r_pos: int) -> int:
-    _, g, _ = chr_index.coordinate(np.asarray([r_pos]))
-    return int(g[0])
+                a1, a2 = pair_rows(blk, j, qry_chars, ref_chars)
+                _walk_alignment(a1, a2, q_pos, r_pos, chr_idx, qry_chars,
+                                ref_chars, collector)
+    collector.finalize(chr_index)
 
 
 def _walk_alignment(a1: np.ndarray, a2: np.ndarray, q_pos0: int, r_pos0: int,
                     chr_idx: int, qry_chars: np.ndarray,
-                    ref_chars: np.ndarray, chr_index: ChrLocIndex,
+                    ref_chars: np.ndarray,
                     collector: VariantCollector) -> None:
     """The aligned-string walk (src/SeqVariant.cpp:64-115), vectorized:
     consumed-character prefix sums give rPos/qPos at each column; indel runs
@@ -137,16 +165,13 @@ def _walk_alignment(a1: np.ndarray, a2: np.ndarray, q_pos0: int, r_pos0: int,
         r_cur, q_cur = int(r_at[i]), int(q_at[i])
         if typ == TYPE_INS:
             frag2 = bytes(qry_chars[q_cur - 1: q_cur + ind_len])
-            pos = _gpos(chr_index, r_cur - 1)
-            collector.add(Variant(chr_idx, pos, frag2[:1], frag2, TYPE_INS))
+            collector.add_raw(chr_idx, r_cur - 1, frag2[:1], frag2, TYPE_INS)
         elif typ == TYPE_DEL:
             frag1 = bytes(ref_chars[r_cur - 1: r_cur + ind_len])
-            pos = _gpos(chr_index, r_cur - 1)
-            collector.add(Variant(chr_idx, pos, frag1, frag1[:1], TYPE_DEL))
+            collector.add_raw(chr_idx, r_cur - 1, frag1, frag1[:1], TYPE_DEL)
         else:
-            pos = _gpos(chr_index, r_cur)
-            collector.add(Variant(chr_idx, pos, bytes(a1[i:i + 1]),
-                                  bytes(a2[i:i + 1]), TYPE_SNV))
+            collector.add_raw(chr_idx, r_cur, bytes(a1[i:i + 1]),
+                              bytes(a2[i:i + 1]), TYPE_SNV)
 
 
 def write_vcf(path: str, collector: VariantCollector, names: List[str],
