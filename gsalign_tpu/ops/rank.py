@@ -62,6 +62,19 @@ def _field_match_bits(words: jnp.ndarray, c: int) -> jnp.ndarray:
 _CHAR_PATTERNS = np.asarray(
     [0x00000000, 0x55555555, 0xAAAAAAAA, 0xFFFFFFFF], dtype=np.uint32)
 
+# base-selection masks per in-block offset (ka & 127): one gather replaces
+# the limit/shift arithmetic in the hot loop. _MASK_TABLE[o, j] keeps the
+# first-`limit` bases of word j for a query ending at offset o.
+_mt = np.zeros((128, WORDS_PER_BLOCK), dtype=np.uint32)
+for _o in range(128):
+    _widx, _m = _o >> 4, (_o & 15) + 1
+    for _j in range(WORDS_PER_BLOCK):
+        _limit = 16 if _j < _widx else (_m if _j == _widx else 0)
+        _mt[_o, _j] = 0 if _limit == 0 else \
+            (0xFFFFFFFF << (32 - 2 * _limit)) & 0xFFFFFFFF
+_MASK_TABLE = _mt
+del _mt
+
 
 def occ4(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     """Counts of each base in B'[0..k_adj], batched. k int32 [B] (-1 -> 0).
@@ -80,13 +93,7 @@ def occ4(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     word0 = block * WORDS_PER_BLOCK
     j = jnp.arange(WORDS_PER_BLOCK, dtype=k.dtype)
     words = dfm.bwt_packed[word0[:, None] + j[None, :]]      # [B, 8] uint32
-    widx = (ka_safe >> 4) & 7                                # word holding ka
-    m_in = (ka_safe & 15) + 1
-    limit = jnp.where(j[None, :] < widx[:, None], 16,
-                      jnp.where(j[None, :] == widx[:, None], m_in[:, None], 0))
-    shift = jnp.clip(32 - 2 * limit, 0, 31).astype(jnp.uint32)
-    base_mask = jnp.where(limit == 0, jnp.uint32(0),
-                          jnp.uint32(0xFFFFFFFF) << shift)   # keep first `limit`
+    base_mask = jnp.asarray(_MASK_TABLE)[ka_safe & 127]      # [B, 8]
     x = words[:, :, None] ^ jnp.asarray(_CHAR_PATTERNS)[None, None, :]
     nx = ~x
     bits = nx & (nx >> jnp.uint32(1)) & _LOW & base_mask[:, :, None]

@@ -138,6 +138,105 @@ def _seed_scan(dfm: DeviceFMIndex,
     return o[:, :, 0], o[:, :, 1], o[:, :, 2], o[:, :, 3], final["out_n"]
 
 
+def find_seeds_all(dfm: DeviceFMIndex,
+                   codes_list,
+                   min_seed_length: int = 15,
+                   max_seed_freq: int = 100,
+                   sensitive: bool = False,
+                   chunk: int = 10000,
+                   mesh=None):
+    """Seed ALL query chromosomes in one device scan.
+
+    Each chromosome occupies a chunk-aligned region of one concatenated
+    lane space; per-lane stops enforce the chromosome boundary so results
+    are identical to per-chromosome calls. Returns a list of
+    (q_pos, r_pos, length) tuples, one per chromosome, each sorted by
+    (PosDiff, qPos)."""
+    offs = []
+    lane_starts = []
+    lane_stops = []
+    off = 0
+    for codes in codes_list:
+        L = int(codes.shape[0])
+        n_lanes = max(1, -(-L // chunk))
+        offs.append(off)
+        s = off + np.arange(n_lanes, dtype=np.int64) * chunk
+        lane_starts.append(s)
+        lane_stops.append(np.minimum(s + chunk, off + L))
+        off += n_lanes * chunk
+    total = off
+    qc = np.full(total, 4, dtype=np.uint8)
+    for codes, o in zip(codes_list, offs):
+        qc[o:o + len(codes)] = codes
+    starts = np.concatenate(lane_starts).astype(np.int32)
+    stops = np.concatenate(lane_stops).astype(np.int32)
+    if mesh is not None:
+        from gsalign_tpu.parallel import mesh as mesh_lib
+        n_dev = mesh.devices.size
+        want = mesh_lib.pad_to_multiple(len(starts), n_dev)
+        if want != len(starts):
+            pad = np.full(want - len(starts), total, dtype=np.int32)
+            starts = np.concatenate([starts, pad - 1])
+            stops = np.concatenate([stops, pad - 1])
+        dfm = mesh_lib.shard_index(dfm, mesh)
+        qc_dev = jax.device_put(jnp.asarray(qc), mesh_lib.replicated(mesh))
+        starts_dev = mesh_lib.shard_lanes(starts, mesh, 0)
+        stops_dev = mesh_lib.shard_lanes(stops, mesh, 0)
+    else:
+        qc_dev = jnp.asarray(qc)
+        starts_dev = jnp.asarray(starts)
+        stops_dev = jnp.asarray(stops)
+
+    max_out = chunk // (5 if sensitive else (min_seed_length + 1)) + 2
+    out_q, out_len, out_k0, out_freq, out_n = _seed_scan(
+        dfm, qc_dev, starts_dev, stops_dev,
+        min_seed_length=min_seed_length, max_seed_freq=max_seed_freq,
+        sensitive=sensitive, max_out=max_out)
+    q_pos, r_pos, length = _expand_hits(dfm, out_q, out_len, out_k0,
+                                        out_freq, out_n)
+    # split back per chromosome and rebase q_pos
+    results = []
+    for codes, o in zip(codes_list, offs):
+        L = int(codes.shape[0])
+        m = (q_pos >= o) & (q_pos < o + L)
+        qp = q_pos[m] - o
+        rp = r_pos[m]
+        ln = length[m]
+        pd = rp - qp
+        order = np.lexsort((qp, pd))
+        results.append((qp[order], rp[order], ln[order]))
+    return results
+
+
+def _expand_hits(dfm, out_q, out_len, out_k0, out_freq, out_n):
+    """Flatten per-lane hit buffers and resolve occurrence positions."""
+    out_q = np.asarray(out_q)
+    out_len = np.asarray(out_len)
+    out_k0 = np.asarray(out_k0)
+    out_freq = np.asarray(out_freq)
+    out_n = np.asarray(out_n)
+    lane_idx, slot_idx = np.nonzero(
+        np.arange(out_q.shape[1])[None, :] < out_n[:, None])
+    if lane_idx.size == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    qs = out_q[lane_idx, slot_idx]
+    ls = out_len[lane_idx, slot_idx]
+    k0 = out_k0[lane_idx, slot_idx]
+    fr = out_freq[lane_idx, slot_idx]
+    total = int(fr.sum())
+    rep = np.repeat(np.arange(qs.shape[0]), fr)
+    offset = np.arange(total) - np.repeat(np.cumsum(fr) - fr, fr)
+    ranks = (k0[rep] + offset).astype(np.int32)
+    # pad to a power of two so resolve_sa compiles once per size class
+    want = 1 << max(6, int(np.ceil(np.log2(total))))
+    ranks_pad = np.full(want, ranks[0], dtype=np.int32)
+    ranks_pad[:total] = ranks
+    r_pos = np.asarray(rank_ops.resolve_sa(
+        dfm, jnp.asarray(ranks_pad)))[:total].astype(np.int64)
+    return qs[rep].astype(np.int64), r_pos, ls[rep].astype(np.int64)
+
+
 def find_seeds(dfm: DeviceFMIndex,
                query_codes: np.ndarray,
                min_seed_length: int = 15,
@@ -182,38 +281,11 @@ def find_seeds(dfm: DeviceFMIndex,
         stops_dev = jnp.asarray(stops)
 
     max_out = chunk // (5 if sensitive else (min_seed_length + 1)) + 2
-    out_q, out_len, out_k0, out_freq, out_n = _seed_scan(
+    out = _seed_scan(
         dfm, qc_dev, starts_dev, stops_dev,
         min_seed_length=min_seed_length, max_seed_freq=max_seed_freq,
         sensitive=sensitive, max_out=max_out)
-
-    out_q = np.asarray(out_q)
-    out_len = np.asarray(out_len)
-    out_k0 = np.asarray(out_k0)
-    out_freq = np.asarray(out_freq)
-    out_n = np.asarray(out_n)
-
-    # flatten valid entries
-    lane_idx, slot_idx = np.nonzero(slot_mask := (
-        np.arange(out_q.shape[1])[None, :] < out_n[:, None]))
-    if lane_idx.size == 0:
-        z = np.zeros(0, dtype=np.int64)
-        return z, z, z
-    qs = out_q[lane_idx, slot_idx]
-    ls = out_len[lane_idx, slot_idx]
-    k0 = out_k0[lane_idx, slot_idx]
-    fr = out_freq[lane_idx, slot_idx]
-
-    # expand occurrences: ranks k0+i for i in [0, freq)
-    total = int(fr.sum())
-    rep = np.repeat(np.arange(qs.shape[0]), fr)
-    offset = np.arange(total) - np.repeat(np.cumsum(fr) - fr, fr)
-    ranks = (k0[rep] + offset).astype(np.int32)
-
-    r_pos = np.asarray(rank_ops.resolve_sa(dfm, jnp.asarray(ranks))).astype(np.int64)
-    q_pos = qs[rep].astype(np.int64)
-    length = ls[rep].astype(np.int64)
-
+    q_pos, r_pos, length = _expand_hits(dfm, *out)
     pos_diff = r_pos - q_pos
     order = np.lexsort((q_pos, pos_diff))
     return q_pos[order], r_pos[order], length[order]

@@ -21,7 +21,7 @@ from gsalign_tpu.genome.coords import ChrLocIndex, gen_coordinate_info
 from gsalign_tpu.genome.packing import Genome, chars_to_codes
 from gsalign_tpu.index.fmindex import FMIndex
 from gsalign_tpu.ops.rank import DeviceFMIndex
-from gsalign_tpu.ops.seeding import find_seeds
+from gsalign_tpu.ops.seeding import find_seeds_all
 from gsalign_tpu.pipeline import blocks as blk_ops
 from gsalign_tpu.pipeline import chain
 from gsalign_tpu.pipeline.generate import generate_alignments
@@ -82,18 +82,20 @@ def compare_genomes(fm: FMIndex,
     aln_path = f"{output_prefix}.aln" if output_prefix else None
 
     log("Step2. Sequence analysis for all query chromosomes", verbose)
+    # S1: seeding — every chromosome's chunk lanes in ONE device scan
+    # (the reference seeds per chromosome with thread chunks,
+    # src/GSAlign.cpp:483-493; lane stops make the results identical)
+    all_seeds = find_seeds_all(
+        dfm, [chars_to_codes(q) for _, q in query_records],
+        min_seed_length=cfg.min_seed_length,
+        max_seed_freq=cfg.max_seed_freq,
+        sensitive=cfg.sensitive,
+        chunk=cfg.seed_exploration_chunk)
+
     first_out = True
     for qc_idx, (qname, qry_chars) in enumerate(query_records):
         log(f"\tProcess query chromosome: {qname}...", verbose)
-        qry_codes = chars_to_codes(qry_chars)
-
-        # S1: seeding (device)
-        q_pos, r_pos, length = find_seeds(
-            dfm, qry_codes,
-            min_seed_length=cfg.min_seed_length,
-            max_seed_freq=cfg.max_seed_freq,
-            sensitive=cfg.sensitive,
-            chunk=cfg.seed_exploration_chunk)
+        q_pos, r_pos, length = all_seeds[qc_idx]
 
         # S2+S3: grouping + chaining
         blocks = chain.generate_alignment_blocks(
