@@ -23,12 +23,15 @@ from gsalign_tpu.index.fmindex import FMIndex, WORDS_PER_BLOCK
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["bwt_packed", "occ_cp", "l2", "sa_samples"],
+         data_fields=["blocks", "l2", "sa_samples"],
          meta_fields=["seq_len", "primary", "sa_intv"])
 @dataclasses.dataclass(frozen=True)
 class DeviceFMIndex:
-    bwt_packed: jnp.ndarray   # uint32 [n_blocks*8]
-    occ_cp: jnp.ndarray       # int32 [n_blocks, 4]
+    # Interleaved per-128-base-block rows, the device analogue of the
+    # reference's interleaved .bwt layout (src/BWT_Index/bwtindex.c:53-75):
+    # row b = [occ_cp[b,0..3] (uint32-cast int32), words[b*8..b*8+7]], so one
+    # contiguous [12]-uint32 gather serves a whole rank query.
+    blocks: jnp.ndarray       # uint32 [n_blocks, 12]
     l2: jnp.ndarray           # int32 [5]
     sa_samples: jnp.ndarray   # int32 [n_samples]
     seq_len: int
@@ -39,9 +42,13 @@ class DeviceFMIndex:
     def from_host(fm: FMIndex) -> "DeviceFMIndex":
         if fm.seq_len >= (1 << 31):
             raise NotImplementedError("int32 device index needs seq_len < 2^31")
+        n_blocks = fm.occ_cp.shape[0]
+        rows = np.empty((n_blocks, 4 + WORDS_PER_BLOCK), dtype=np.uint32)
+        rows[:, :4] = fm.occ_cp.astype(np.int32).view(np.uint32).reshape(
+            n_blocks, 4)
+        rows[:, 4:] = fm.bwt_packed.reshape(n_blocks, WORDS_PER_BLOCK)
         return DeviceFMIndex(
-            bwt_packed=jnp.asarray(fm.bwt_packed),
-            occ_cp=jnp.asarray(fm.occ_cp, dtype=jnp.int32),
+            blocks=jnp.asarray(rows),
             l2=jnp.asarray(fm.l2, dtype=jnp.int32),
             sa_samples=jnp.asarray(fm.sa_samples, dtype=jnp.int32),
             seq_len=int(fm.seq_len),
@@ -88,23 +95,21 @@ def occ4(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     valid = k >= 0
     ka = k - (k >= dfm.primary).astype(k.dtype)
     ka_safe = jnp.maximum(ka, 0)
-    block = ka_safe >> 7
-    cp = dfm.occ_cp[block]                                  # [B, 4]
-    word0 = block * WORDS_PER_BLOCK
-    j = jnp.arange(WORDS_PER_BLOCK, dtype=k.dtype)
-    words = dfm.bwt_packed[word0[:, None] + j[None, :]]      # [B, 8] uint32
+    row = dfm.blocks[ka_safe >> 7]                           # [B, 12] uint32
+    cp = row[:, :4].astype(jnp.int32)                        # [B, 4]
+    words = row[:, 4:]                                       # [B, 8]
     base_mask = jnp.asarray(_MASK_TABLE)[ka_safe & 127]      # [B, 8]
     x = words[:, :, None] ^ jnp.asarray(_CHAR_PATTERNS)[None, None, :]
     nx = ~x
     bits = nx & (nx >> jnp.uint32(1)) & _LOW & base_mask[:, :, None]
-    counts = jnp.sum(jax.lax.population_count(bits), axis=1)  # [B, 4]
-    cnt = cp + counts.astype(cp.dtype)
+    counts = jnp.sum(jax.lax.population_count(bits), axis=1)  # [B, 4] uint32
+    cnt = cp + counts.astype(jnp.int32)
     return jnp.where(valid[:, None], cnt, 0)
 
 
 def bwt_code_at(dfm: DeviceFMIndex, x: jnp.ndarray) -> jnp.ndarray:
     """BWT base code at $-removed position x, batched."""
-    w = dfm.bwt_packed[x >> 4]
+    w = dfm.blocks[x >> 7, 4 + ((x >> 4) & 7)]
     sh = (((~x) & 15) << 1).astype(jnp.uint32)
     return ((w >> sh) & jnp.uint32(3)).astype(jnp.int32)
 

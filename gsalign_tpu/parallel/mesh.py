@@ -41,8 +41,7 @@ def shard_index(dfm: DeviceFMIndex, mesh: Mesh) -> DeviceFMIndex:
     """Replicate the FM-index arrays across the mesh."""
     rep = replicated(mesh)
     return DeviceFMIndex(
-        bwt_packed=jax.device_put(dfm.bwt_packed, rep),
-        occ_cp=jax.device_put(dfm.occ_cp, rep),
+        blocks=jax.device_put(dfm.blocks, rep),
         l2=jax.device_put(dfm.l2, rep),
         sa_samples=jax.device_put(dfm.sa_samples, rep),
         seq_len=dfm.seq_len, primary=dfm.primary, sa_intv=dfm.sa_intv,
