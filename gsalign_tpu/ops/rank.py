@@ -99,10 +99,19 @@ def occ4(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     cp = row[:, :4].astype(jnp.int32)                        # [B, 4]
     words = row[:, 4:]                                       # [B, 8]
     base_mask = jnp.asarray(_MASK_TABLE)[ka_safe & 127]      # [B, 8]
-    x = words[:, :, None] ^ jnp.asarray(_CHAR_PATTERNS)[None, None, :]
-    nx = ~x
-    bits = nx & (nx >> jnp.uint32(1)) & _LOW & base_mask[:, :, None]
-    counts = jnp.sum(jax.lax.population_count(bits), axis=1)  # [B, 4] uint32
+    # per-2-bit-field class selectors on [B, 8] (cheaper than broadcasting a
+    # [B, 8, 4] char comparison): field == c <=> (hi-bit, lo-bit) pattern
+    hi = (words >> jnp.uint32(1)) & _LOW
+    lo = words & _LOW
+    mask_lo = base_mask & _LOW
+    pc = jax.lax.population_count
+    c3 = pc(hi & lo & mask_lo)
+    c2 = pc(hi & (lo ^ _LOW) & mask_lo)
+    c1 = pc((hi ^ _LOW) & lo & mask_lo)
+    c0 = pc(mask_lo) - c1 - c2 - c3
+    counts = jnp.stack(
+        [jnp.sum(c0, axis=1), jnp.sum(c1, axis=1),
+         jnp.sum(c2, axis=1), jnp.sum(c3, axis=1)], axis=1)   # [B, 4]
     cnt = cp + counts.astype(jnp.int32)
     return jnp.where(valid[:, None], cnt, 0)
 

@@ -40,7 +40,8 @@ PHASE_EXT = 1
 def _seed_scan(dfm: DeviceFMIndex,
                qcodes: jnp.ndarray,      # uint8/int32 [Lpad] (pad value 4)
                starts: jnp.ndarray,      # int32 [B]
-               stops: jnp.ndarray,       # int32 [B]
+               emit_stops: jnp.ndarray,  # int32 [B] stop recording starts here
+               ext_stops: jnp.ndarray,   # int32 [B] extension clip (chunk end)
                min_seed_length: int,
                max_seed_freq: int,
                sensitive: bool,
@@ -64,7 +65,7 @@ def _seed_scan(dfm: DeviceFMIndex,
     )
 
     def lane_done(s):
-        return (s["phase"] == PHASE_INIT) & (s["cursor"] >= stops)
+        return (s["phase"] == PHASE_INIT) & (s["cursor"] >= emit_stops)
 
     def cond(s):
         return ~jnp.all(lane_done(s))
@@ -74,7 +75,7 @@ def _seed_scan(dfm: DeviceFMIndex,
         ext_start, ext_pos = s["ext_start"], s["ext_pos"]
         ik0, ik1, ik2 = s["ik0"], s["ik1"], s["ik2"]
 
-        in_init = (phase == PHASE_INIT) & (cursor < stops)
+        in_init = (phase == PHASE_INIT) & (cursor < emit_stops)
         in_ext = phase == PHASE_EXT
 
         # ---- INIT step ----
@@ -86,7 +87,7 @@ def _seed_scan(dfm: DeviceFMIndex,
         nt = code_at(ext_pos)
         e_ik0, e_ik1, e_ik2 = rank_ops.extend_forward(
             dfm, ik0, ik1, ik2, jnp.clip(nt, 0, 3))
-        hit_boundary = ext_pos >= stops
+        hit_boundary = ext_pos >= ext_stops
         hit_amb = nt > 3
         dead_end = e_ik2 == 0
         finalize = in_ext & (hit_boundary | hit_amb | dead_end)
@@ -135,7 +136,55 @@ def _seed_scan(dfm: DeviceFMIndex,
 
     final = jax.lax.while_loop(cond, body, init_state)
     o = final["out"]
-    return o[:, :, 0], o[:, :, 1], o[:, :, 2], o[:, :, 3], final["out_n"]
+    return (o[:, :, 0], o[:, :, 1], o[:, :, 2], o[:, :, 3], final["out_n"],
+            final["cursor"])
+
+
+def _next_pow2(n: int, floor: int = 64) -> int:
+    m = floor
+    while m < n:
+        m *= 2
+    return m
+
+
+def _run_scan(dfm, qc_dev, starts, emit_stops, ext_stops,
+              min_seed_length, max_seed_freq, sensitive, max_out, mesh=None):
+    """Launch the scan kernel with power-of-two lane padding (stable compiled
+    shapes) and minimal device->host transfer (buffers trimmed to the widest
+    actually-used slot count)."""
+    B = len(starts)
+    Bp = _next_pow2(B)
+    if mesh is not None:
+        from gsalign_tpu.parallel import mesh as mesh_lib
+        Bp = mesh_lib.pad_to_multiple(Bp, mesh.devices.size)
+
+    def pad(a):
+        out = np.zeros(Bp, dtype=np.int32)
+        out[:B] = a
+        return out   # padded lanes: start == emit_stop == 0 -> done instantly
+
+    st, em, ex = pad(starts), pad(emit_stops), pad(ext_stops)
+    if mesh is not None:
+        from gsalign_tpu.parallel import mesh as mesh_lib
+        dfm = mesh_lib.shard_index(dfm, mesh)
+        st = mesh_lib.shard_lanes(st, mesh, 0)
+        em = mesh_lib.shard_lanes(em, mesh, 0)
+        ex = mesh_lib.shard_lanes(ex, mesh, 0)
+    else:
+        st, em, ex = jnp.asarray(st), jnp.asarray(em), jnp.asarray(ex)
+    out_q, out_len, out_k0, out_freq, out_n, exits = _seed_scan(
+        dfm, qc_dev, st, em, ex,
+        min_seed_length=min_seed_length, max_seed_freq=max_seed_freq,
+        sensitive=sensitive, max_out=max_out)
+    n = np.asarray(out_n)[:B]
+    exits = np.asarray(exits)[:B]
+    width = _next_pow2(int(n.max()) if B else 1, 8)
+    width = min(width, max_out)
+    qs = np.asarray(out_q[:, :width])[:B]
+    ls = np.asarray(out_len[:, :width])[:B]
+    k0 = np.asarray(out_k0[:, :width])[:B]
+    fr = np.asarray(out_freq[:, :width])[:B]
+    return qs, ls, k0, fr, n, exits
 
 
 def find_seeds_all(dfm: DeviceFMIndex,
@@ -144,57 +193,129 @@ def find_seeds_all(dfm: DeviceFMIndex,
                    max_seed_freq: int = 100,
                    sensitive: bool = False,
                    chunk: int = 10000,
+                   n_segments: int = 8,
                    mesh=None):
-    """Seed ALL query chromosomes in one device scan.
+    """Seed ALL query chromosomes, exactly reproducing the reference's
+    per-chunk sequential scan, with speculative segment parallelism.
 
-    Each chromosome occupies a chunk-aligned region of one concatenated
-    lane space; per-lane stops enforce the chromosome boundary so results
-    are identical to per-chromosome calls. Returns a list of
-    (q_pos, r_pos, length) tuples, one per chromosome, each sorted by
-    (PosDiff, qPos)."""
+    Each 10 kb chunk is cut into n_segments segments scanned concurrently
+    from their segment starts (extensions still clip at the CHUNK end, so
+    hit lengths are exact). The true trajectory's entry into each segment is
+    then reconciled on the host: a scan position e is "visited" by the
+    speculative lane iff no recorded hit jumped over it, in which case the
+    lane's hit suffix from e onward IS the true trajectory (trajectories are
+    deterministic functions of position). Unsynced segments — rare, since
+    trajectories re-synchronize at the first variant after entry — are
+    re-scanned from their exact entry in a follow-up device round.
+
+    Returns [(q_pos, r_pos, length), ...] per chromosome, each sorted by
+    (PosDiff, qPos), identical to the reference scan.
+    """
+    # --- concatenated lane space ---
     offs = []
-    lane_starts = []
-    lane_stops = []
+    chunk_bounds = []            # (concat_start, concat_stop) per chunk
     off = 0
     for codes in codes_list:
         L = int(codes.shape[0])
-        n_lanes = max(1, -(-L // chunk))
+        n_chunks = max(1, -(-L // chunk))
         offs.append(off)
-        s = off + np.arange(n_lanes, dtype=np.int64) * chunk
-        lane_starts.append(s)
-        lane_stops.append(np.minimum(s + chunk, off + L))
-        off += n_lanes * chunk
+        for c in range(n_chunks):
+            s = off + c * chunk
+            chunk_bounds.append((s, min(s + chunk, off + L)))
+        off += n_chunks * chunk
     total = off
     qc = np.full(total, 4, dtype=np.uint8)
     for codes, o in zip(codes_list, offs):
         qc[o:o + len(codes)] = codes
-    starts = np.concatenate(lane_starts).astype(np.int32)
-    stops = np.concatenate(lane_stops).astype(np.int32)
+    qc_dev = jnp.asarray(qc)
     if mesh is not None:
         from gsalign_tpu.parallel import mesh as mesh_lib
-        n_dev = mesh.devices.size
-        want = mesh_lib.pad_to_multiple(len(starts), n_dev)
-        if want != len(starts):
-            pad = np.full(want - len(starts), total, dtype=np.int32)
-            starts = np.concatenate([starts, pad - 1])
-            stops = np.concatenate([stops, pad - 1])
-        dfm = mesh_lib.shard_index(dfm, mesh)
-        qc_dev = jax.device_put(jnp.asarray(qc), mesh_lib.replicated(mesh))
-        starts_dev = mesh_lib.shard_lanes(starts, mesh, 0)
-        stops_dev = mesh_lib.shard_lanes(stops, mesh, 0)
-    else:
-        qc_dev = jnp.asarray(qc)
-        starts_dev = jnp.asarray(starts)
-        stops_dev = jnp.asarray(stops)
+        qc_dev = jax.device_put(qc_dev, mesh_lib.replicated(mesh))
 
-    max_out = chunk // (5 if sensitive else (min_seed_length + 1)) + 2
-    out_q, out_len, out_k0, out_freq, out_n = _seed_scan(
-        dfm, qc_dev, starts_dev, stops_dev,
-        min_seed_length=min_seed_length, max_seed_freq=max_seed_freq,
-        sensitive=sensitive, max_out=max_out)
-    q_pos, r_pos, length = _expand_hits(dfm, out_q, out_len, out_k0,
-                                        out_freq, out_n)
-    # split back per chromosome and rebase q_pos
+    seg_len = max(1, chunk // max(1, n_segments))
+    stride = 5 if sensitive else None
+    max_out = seg_len // (5 if sensitive else (min_seed_length + 1)) + 2
+
+    # --- round 1: speculative lanes at every segment start ---
+    lane_starts, lane_emit, lane_ext, lane_key = [], [], [], []
+    for ci, (cs, ce) in enumerate(chunk_bounds):
+        k = 0
+        p = cs
+        while p < ce:
+            lane_starts.append(p)
+            lane_emit.append(min(p + seg_len, ce))
+            lane_ext.append(ce)
+            lane_key.append((ci, k))
+            p += seg_len
+            k += 1
+    lanes = {}
+    qs, ls, k0, fr, n, exits = _run_scan(
+        dfm, qc_dev, np.asarray(lane_starts, np.int32),
+        np.asarray(lane_emit, np.int32), np.asarray(lane_ext, np.int32),
+        min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh)
+    for i, key in enumerate(lane_key):
+        m = n[i]
+        starts_i = qs[i, :m]
+        adv = starts_i + (stride if stride else ls[i, :m] + 1)
+        lanes[key] = (int(lane_starts[i]), starts_i, ls[i, :m], k0[i, :m],
+                      fr[i, :m], adv, int(exits[i]))
+
+    # --- reconciliation (+ fixup rounds) ---
+    hits_q, hits_l, hits_k0, hits_fr = [], [], [], []
+    n_chunks = len(chunk_bounds)
+    entry = np.asarray([cs for cs, _ in chunk_bounds], dtype=np.int64)
+    done = np.zeros(n_chunks, dtype=bool)
+    for _round in range(n_segments + 1):
+        fixups = []
+        for ci in range(n_chunks):
+            if done[ci]:
+                continue
+            cs, ce = chunk_bounds[ci]
+            e = int(entry[ci])
+            while e < ce:
+                k = (e - cs) // seg_len
+                lane = lanes.get((ci, k))
+                lane_start = lane[0]
+                if lane_start > e:
+                    # a fixup lane exists but for a later position: stale
+                    lane = None
+                if lane is None or (lane_start < e and not _visited(lane, e)):
+                    fixups.append((ci, k, e,
+                                   min(cs + (k + 1) * seg_len, ce), ce))
+                    break
+                if lane_start == e or _visited(lane, e):
+                    starts_i = lane[1]
+                    idx = int(np.searchsorted(starts_i, e))
+                    hits_q.append(starts_i[idx:])
+                    hits_l.append(lane[2][idx:])
+                    hits_k0.append(lane[3][idx:])
+                    hits_fr.append(lane[4][idx:])
+                    e = lane[6]
+            else:
+                done[ci] = True
+            entry[ci] = e
+        if not fixups:
+            break
+        f_starts = np.asarray([f[2] for f in fixups], np.int32)
+        f_emit = np.asarray([f[3] for f in fixups], np.int32)
+        f_ext = np.asarray([f[4] for f in fixups], np.int32)
+        qs, ls, k0, fr, n, exits = _run_scan(
+            dfm, qc_dev, f_starts, f_emit, f_ext,
+            min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh)
+        for i, (ci, k, e, _, _) in enumerate(fixups):
+            m = n[i]
+            starts_i = qs[i, :m]
+            adv = starts_i + (stride if stride else ls[i, :m] + 1)
+            lanes[(ci, k)] = (int(e), starts_i, ls[i, :m], k0[i, :m],
+                              fr[i, :m], adv, int(exits[i]))
+
+    q_pos, r_pos, length = _expand_hits(
+        dfm,
+        np.concatenate(hits_q) if hits_q else np.zeros(0, np.int32),
+        np.concatenate(hits_l) if hits_l else np.zeros(0, np.int32),
+        np.concatenate(hits_k0) if hits_k0 else np.zeros(0, np.int32),
+        np.concatenate(hits_fr) if hits_fr else np.zeros(0, np.int32))
+
     results = []
     for codes, o in zip(codes_list, offs):
         L = int(codes.shape[0])
@@ -202,35 +323,35 @@ def find_seeds_all(dfm: DeviceFMIndex,
         qp = q_pos[m] - o
         rp = r_pos[m]
         ln = length[m]
-        pd = rp - qp
-        order = np.lexsort((qp, pd))
+        order = np.lexsort((qp, rp - qp))
         results.append((qp[order], rp[order], ln[order]))
     return results
 
 
-def _expand_hits(dfm, out_q, out_len, out_k0, out_freq, out_n):
-    """Flatten per-lane hit buffers and resolve occurrence positions."""
-    out_q = np.asarray(out_q)
-    out_len = np.asarray(out_len)
-    out_k0 = np.asarray(out_k0)
-    out_freq = np.asarray(out_freq)
-    out_n = np.asarray(out_n)
-    lane_idx, slot_idx = np.nonzero(
-        np.arange(out_q.shape[1])[None, :] < out_n[:, None])
-    if lane_idx.size == 0:
+def _visited(lane, e):
+    """Was position e a scan start of this lane's trajectory? True iff no
+    recorded hit jumped over it (between hits the scan advances +1)."""
+    starts_i, adv = lane[1], lane[5]
+    h = int(np.searchsorted(starts_i, e, side="left")) - 1
+    if h < 0:
+        return True
+    if starts_i.shape[0] > h and e == starts_i[h]:
+        return True
+    return e >= adv[h]
+
+
+def _expand_hits(dfm, qs, ls, k0, fr):
+    """Resolve occurrence positions for flat hit arrays."""
+    if qs.size == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z, z
-    qs = out_q[lane_idx, slot_idx]
-    ls = out_len[lane_idx, slot_idx]
-    k0 = out_k0[lane_idx, slot_idx]
-    fr = out_freq[lane_idx, slot_idx]
+    fr = fr.astype(np.int64)
     total = int(fr.sum())
     rep = np.repeat(np.arange(qs.shape[0]), fr)
     offset = np.arange(total) - np.repeat(np.cumsum(fr) - fr, fr)
-    ranks = (k0[rep] + offset).astype(np.int32)
-    # pad to a power of two so resolve_sa compiles once per size class
-    want = 1 << max(6, int(np.ceil(np.log2(total))))
-    ranks_pad = np.full(want, ranks[0], dtype=np.int32)
+    ranks = (k0[rep].astype(np.int64) + offset).astype(np.int32)
+    want = _next_pow2(total)
+    ranks_pad = np.full(want, ranks[0] if total else 1, dtype=np.int32)
     ranks_pad[:total] = ranks
     r_pos = np.asarray(rank_ops.resolve_sa(
         dfm, jnp.asarray(ranks_pad)))[:total].astype(np.int64)
@@ -243,49 +364,11 @@ def find_seeds(dfm: DeviceFMIndex,
                max_seed_freq: int = 100,
                sensitive: bool = False,
                chunk: int = 10000,
-               pad_to: int | None = None,
+               n_segments: int = 8,
                mesh=None,
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Find all LMEM seeds of one query chromosome.
-
-    Returns (q_pos, r_pos, length) int64 arrays sorted by
-    (PosDiff, qPos) — the order SeedVec holds after the locked merge in
-    IdentifyLocalMEM (src/GSAlign.cpp:95-104, CompByPosDiff).
-
-    With a mesh, the lane axis is sharded over its "frag" axis and the
-    FM-index is replicated (see parallel/mesh.py).
-    """
-    L = int(query_codes.shape[0])
-    n_lanes = max(1, -(-L // chunk))
-    if pad_to is not None:
-        n_lanes = max(n_lanes, -(-pad_to // chunk))
-    if mesh is not None:
-        from gsalign_tpu.parallel import mesh as mesh_lib
-        n_lanes = mesh_lib.pad_to_multiple(n_lanes, mesh.devices.size)
-    Lpad = n_lanes * chunk
-    qc = np.full(Lpad, 4, dtype=np.uint8)
-    qc[:L] = query_codes
-    starts = np.arange(n_lanes, dtype=np.int32) * chunk
-    stops = np.minimum(starts + chunk, L).astype(np.int32)
-    stops = np.maximum(stops, starts)  # lanes past L: empty
-
-    if mesh is not None:
-        from gsalign_tpu.parallel import mesh as mesh_lib
-        dfm = mesh_lib.shard_index(dfm, mesh)
-        qc_dev = jax.device_put(jnp.asarray(qc), mesh_lib.replicated(mesh))
-        starts_dev = mesh_lib.shard_lanes(starts, mesh, 0)
-        stops_dev = mesh_lib.shard_lanes(stops, mesh, 0)
-    else:
-        qc_dev = jnp.asarray(qc)
-        starts_dev = jnp.asarray(starts)
-        stops_dev = jnp.asarray(stops)
-
-    max_out = chunk // (5 if sensitive else (min_seed_length + 1)) + 2
-    out = _seed_scan(
-        dfm, qc_dev, starts_dev, stops_dev,
-        min_seed_length=min_seed_length, max_seed_freq=max_seed_freq,
-        sensitive=sensitive, max_out=max_out)
-    q_pos, r_pos, length = _expand_hits(dfm, *out)
-    pos_diff = r_pos - q_pos
-    order = np.lexsort((q_pos, pos_diff))
-    return q_pos[order], r_pos[order], length[order]
+    """Find all LMEM seeds of one query chromosome (see find_seeds_all)."""
+    return find_seeds_all(
+        dfm, [query_codes], min_seed_length=min_seed_length,
+        max_seed_freq=max_seed_freq, sensitive=sensitive, chunk=chunk,
+        n_segments=n_segments, mesh=mesh)[0]
