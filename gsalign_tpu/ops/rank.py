@@ -130,6 +130,10 @@ def extend_forward(dfm: DeviceFMIndex, ik0, ik1, ik2, nt):
     (src/bwt_search.cpp:159-171): occ4 at the RC interval's two ends (fused
     into one [2B] query), derive all four child intervals, pick child 3-nt.
     Returns (ok0, ok1, ok2) for the chosen child (ok2 == 0 => dead end).
+
+    Kept for parity tests; the seeding scan uses extend_rc (the fwd+RC index
+    text is its own reverse complement, so the forward interval start ik0 is
+    redundant — occurrences of P mirror occurrences of RC(P)).
     """
     B = ik0.shape[0]
     both = occ4(dfm, jnp.concatenate([ik1 - 1, ik1 - 1 + ik2]))
@@ -147,6 +151,19 @@ def extend_forward(dfm: DeviceFMIndex, ik0, ik1, ik2, nt):
     i = 3 - nt
     rows = jnp.arange(ik0.shape[0])
     return x0_all[rows, i], x1_all[rows, i], s_all[rows, i]
+
+
+def extend_rc(dfm: DeviceFMIndex, ik1, ik2, nt):
+    """Forward extension tracking ONLY the RC interval (ik1, size ik2):
+    appending base nt to P = backward-extending RC(P) with comp(nt).
+    Returns (nik1, nik2)."""
+    B = ik1.shape[0]
+    both = occ4(dfm, jnp.concatenate([ik1 - 1, ik1 - 1 + ik2]))
+    c = 3 - nt
+    rows = jnp.arange(B)
+    tk = both[:B][rows, c]
+    tl = both[B:][rows, c]
+    return dfm.l2[c] + 1 + tk, tl - tk
 
 
 def init_interval(dfm: DeviceFMIndex, p: jnp.ndarray):

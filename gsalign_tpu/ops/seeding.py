@@ -59,7 +59,7 @@ def _seed_scan(dfm: DeviceFMIndex,
         cursor=starts.astype(i32),
         ext_start=jnp.zeros(B, i32),
         ext_pos=jnp.zeros(B, i32),
-        ik0=jnp.zeros(B, i32), ik1=jnp.zeros(B, i32), ik2=jnp.zeros(B, i32),
+        ik1=jnp.zeros(B, i32), ik2=jnp.zeros(B, i32),
         out=jnp.zeros((B, max_out, 4), i32),     # (qPos, len, k0, freq)
         out_n=jnp.zeros(B, i32),
     )
@@ -73,7 +73,7 @@ def _seed_scan(dfm: DeviceFMIndex,
     def body(s):
         phase, cursor = s["phase"], s["cursor"]
         ext_start, ext_pos = s["ext_start"], s["ext_pos"]
-        ik0, ik1, ik2 = s["ik0"], s["ik1"], s["ik2"]
+        ik1, ik2 = s["ik1"], s["ik2"]
 
         in_init = (phase == PHASE_INIT) & (cursor < emit_stops)
         in_ext = phase == PHASE_EXT
@@ -81,12 +81,13 @@ def _seed_scan(dfm: DeviceFMIndex,
         # ---- INIT step ----
         c0 = code_at(cursor)
         init_amb = c0 > 3
-        n_ik0, n_ik1, n_ik2 = rank_ops.init_interval(dfm, jnp.clip(c0, 0, 3))
+        c0c = jnp.clip(c0, 0, 3)
+        n_ik1 = dfm.l2[3 - c0c] + 1
+        n_ik2 = dfm.l2[c0c + 1] - dfm.l2[c0c]
 
         # ---- EXT step: one forward extension (computed for all lanes) ----
         nt = code_at(ext_pos)
-        e_ik0, e_ik1, e_ik2 = rank_ops.extend_forward(
-            dfm, ik0, ik1, ik2, jnp.clip(nt, 0, 3))
+        e_ik1, e_ik2 = rank_ops.extend_rc(dfm, ik1, ik2, jnp.clip(nt, 0, 3))
         hit_boundary = ext_pos >= ext_stops
         hit_amb = nt > 3
         dead_end = e_ik2 == 0
@@ -108,7 +109,7 @@ def _seed_scan(dfm: DeviceFMIndex,
         slot = jnp.minimum(s["out_n"], max_out - 1)
         do_emit = is_hit & (s["out_n"] < max_out)
         rows = jnp.arange(B)
-        record = jnp.stack([ext_start, length, ik0, freq], axis=1)  # [B,4]
+        record = jnp.stack([ext_start, length, ik1, freq], axis=1)  # [B,4]
         old = s["out"][rows, slot]
         out = s["out"].at[rows, slot].set(
             jnp.where(do_emit[:, None], record, old))
@@ -123,14 +124,13 @@ def _seed_scan(dfm: DeviceFMIndex,
         new_ext_start = jnp.where(start_ext, cursor, ext_start)
         new_ext_pos = jnp.where(start_ext, cursor + 1,
                                 jnp.where(ext_ok, ext_pos + 1, ext_pos))
-        new_ik0 = jnp.where(start_ext, n_ik0, jnp.where(ext_ok, e_ik0, ik0))
         new_ik1 = jnp.where(start_ext, n_ik1, jnp.where(ext_ok, e_ik1, ik1))
         new_ik2 = jnp.where(start_ext, n_ik2, jnp.where(ext_ok, e_ik2, ik2))
 
         return dict(
             phase=new_phase, cursor=new_cursor,
             ext_start=new_ext_start, ext_pos=new_ext_pos,
-            ik0=new_ik0, ik1=new_ik1, ik2=new_ik2,
+            ik1=new_ik1, ik2=new_ik2,
             out=out, out_n=out_n,
         )
 
@@ -193,7 +193,7 @@ def find_seeds_all(dfm: DeviceFMIndex,
                    max_seed_freq: int = 100,
                    sensitive: bool = False,
                    chunk: int = 10000,
-                   n_segments: int = 8,
+                   n_segments: int = 1,
                    mesh=None):
     """Seed ALL query chromosomes, exactly reproducing the reference's
     per-chunk sequential scan, with speculative segment parallelism.
@@ -353,9 +353,13 @@ def _expand_hits(dfm, qs, ls, k0, fr):
     want = _next_pow2(total)
     ranks_pad = np.full(want, ranks[0] if total else 1, dtype=np.int32)
     ranks_pad[:total] = ranks
-    r_pos = np.asarray(rank_ops.resolve_sa(
+    rc_pos = np.asarray(rank_ops.resolve_sa(
         dfm, jnp.asarray(ranks_pad)))[:total].astype(np.int64)
-    return qs[rep].astype(np.int64), r_pos, ls[rep].astype(np.int64)
+    lens = ls[rep].astype(np.int64)
+    # ranks index RC(P) occurrences; the fwd+RC text is its own reverse
+    # complement, so P occurs at the mirrored positions.
+    r_pos = dfm.seq_len - rc_pos - lens
+    return qs[rep].astype(np.int64), r_pos, lens
 
 
 def find_seeds(dfm: DeviceFMIndex,
@@ -364,7 +368,7 @@ def find_seeds(dfm: DeviceFMIndex,
                max_seed_freq: int = 100,
                sensitive: bool = False,
                chunk: int = 10000,
-               n_segments: int = 8,
+               n_segments: int = 1,
                mesh=None,
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Find all LMEM seeds of one query chromosome (see find_seeds_all)."""
