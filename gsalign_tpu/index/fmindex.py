@@ -29,6 +29,9 @@ OCC_INTERVAL = 128          # bases per checkpoint block
 WORDS_PER_BLOCK = OCC_INTERVAL // 16
 
 
+PAIR_BLOCK = 64                 # pair-symbols per pair checkpoint block
+
+
 @dataclasses.dataclass
 class FMIndex:
     seq_len: int                 # 2N (fwd + RC)
@@ -39,6 +42,12 @@ class FMIndex:
     sa_samples: np.ndarray       # int32/int64 [ceil((seq_len+1)/intv)]
     sa_intv: int
     genome: Optional[Genome] = None
+    # pair-symbol (alphabet-16) structures over ALL SA_full rows (no $-row
+    # removal, no primary shift): two query-genome bases per rank query.
+    pbwt_packed: Optional[np.ndarray] = None   # uint32 [n_pblocks*8], 4b/sym
+    pair_cp: Optional[np.ndarray] = None       # int32 [n_pblocks, 16]
+    c16: Optional[np.ndarray] = None           # int64 [17]
+    pair_exc: Optional[np.ndarray] = None      # int32 [2] ranks with SA < 2
 
     @property
     def rank_dtype(self):
@@ -96,10 +105,61 @@ def build_fmindex(genome: Genome, sa_intv: int = 8,
     sa_dtype = np.int32 if n < (1 << 31) else np.int64
     sa_samples = sa_full[::sa_intv].astype(sa_dtype)
 
+    pbwt_packed, pair_cp, c16, pair_exc = _build_pair_index(text, sa_full)
+
     return FMIndex(
         seq_len=n, primary=primary, l2=l2, bwt_packed=bwt_packed,
         occ_cp=occ_cp, sa_samples=sa_samples, sa_intv=sa_intv, genome=genome,
+        pbwt_packed=pbwt_packed, pair_cp=pair_cp, c16=c16, pair_exc=pair_exc,
     )
+
+
+def _build_pair_index(text: np.ndarray, sa_full: np.ndarray):
+    """Alphabet-16 BWT over all SA_full rows: PBWT[i] = the pair of bases
+    preceding suffix SA[i] (4*T[SA-2]+T[SA-1]); rows with SA < 2 are
+    exceptions (no 2-base left context, stored as 0 and subtracted from
+    class-0 ranks at query time). One backward step with a pair symbol
+    consumes two query bases — half the rank queries of the seeding scan."""
+    n = int(text.shape[0])
+    rows = n + 1
+    pbwt = np.zeros(rows, dtype=np.uint8)
+    has_ctx = sa_full >= 2
+    idx = sa_full[has_ctx]
+    pbwt[has_ctx] = text[idx - 2] * 4 + text[idx - 1]
+    pair_exc = np.nonzero(~has_ctx)[0].astype(np.int32)
+    assert pair_exc.shape[0] == 2
+
+    # C16[c]: rows sorting strictly below the suffix block with first pair c.
+    # key coarsens suffix order to 2-char granularity (short suffixes get
+    # keys that slot them below the full pairs sharing their first char).
+    keys = np.full(rows, -1, dtype=np.int64)
+    m_full = sa_full <= n - 2
+    j = sa_full[m_full]
+    keys[m_full] = text[j] * 8 + text[np.minimum(j + 1, n - 1)] * 2 + 1
+    m_one = sa_full == n - 1
+    keys[m_one] = text[sa_full[m_one]] * 8
+    c16 = np.empty(17, dtype=np.int64)
+    for c in range(16):
+        a, b = c >> 2, c & 3
+        c16[c] = np.searchsorted(keys, a * 8 + b * 2 + 1, side="left")
+    c16[16] = rows
+
+    # per-block class checkpoints + 4-bit packed symbols (MSB-first in word)
+    n_pblocks = rows // PAIR_BLOCK + 1
+    padded = np.full(n_pblocks * PAIR_BLOCK, 255, dtype=np.uint8)
+    padded[:rows] = pbwt
+    block_view = padded.reshape(n_pblocks, PAIR_BLOCK)
+    per_block = np.stack([(block_view == c).sum(axis=1) for c in range(16)],
+                         axis=1)
+    pair_cp = np.zeros((n_pblocks, 16), dtype=np.int64)
+    pair_cp[1:] = np.cumsum(per_block, axis=0)[:-1]
+    pair_cp = pair_cp.astype(np.int32)
+
+    syms = padded.astype(np.uint32).reshape(-1, 8)
+    shifts = ((7 - np.arange(8)) * 4).astype(np.uint32)
+    pbwt_packed = np.bitwise_or.reduce((syms & 0xF) << shifts, axis=1) \
+        .astype(np.uint32)
+    return pbwt_packed, pair_cp, c16, pair_exc
 
 
 # ---- host-side (numpy) reference queries, used by tests and small runs ----
@@ -146,6 +206,29 @@ def inv_psi_np(fm: FMIndex, k: int) -> int:
     c = bwt_code_at_np(fm, x)
     x = int(fm.l2[c]) + occ1_np(fm, k, c)
     return 0 if k == fm.primary else x
+
+
+def rank16_np(fm: FMIndex, c: int, k: int) -> int:
+    """# rows j in [0, k) with pair-symbol c (exceptions excluded)."""
+    block = k // PAIR_BLOCK
+    cnt = int(fm.pair_cp[block, c])
+    for j in range(block * PAIR_BLOCK, k):
+        w = int(fm.pbwt_packed[j >> 3])
+        sym = (w >> ((7 - (j & 7)) * 4)) & 0xF
+        if sym == c:
+            cnt += 1
+    if c == 0:
+        cnt -= int((fm.pair_exc < k).sum())
+    return cnt
+
+
+def extend_rc_pair_np(fm: FMIndex, ik1: int, ik2: int, b1: int, b2: int):
+    """Append bases (b1, b2) to P by backward-extending RC(P) with the pair
+    symbol (comp(b2), comp(b1)). Returns (new_ik1, new_ik2)."""
+    c = (3 - b2) * 4 + (3 - b1)
+    lo = rank16_np(fm, c, ik1)
+    hi = rank16_np(fm, c, ik1 + ik2)
+    return int(fm.c16[c]) + lo, hi - lo
 
 
 def sa_lookup_np(fm: FMIndex, k: int) -> int:

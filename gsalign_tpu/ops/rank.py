@@ -22,38 +22,57 @@ import numpy as np
 from gsalign_tpu.index.fmindex import FMIndex, WORDS_PER_BLOCK
 
 
+UNION_ROW = 32   # uint32 words per row of the unified rank table
+
+
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["blocks", "l2", "sa_samples"],
-         meta_fields=["seq_len", "primary", "sa_intv"])
+         data_fields=["union", "l2", "sa_samples", "c16", "pair_exc"],
+         meta_fields=["seq_len", "primary", "sa_intv", "pair_base"])
 @dataclasses.dataclass(frozen=True)
 class DeviceFMIndex:
-    # Interleaved per-128-base-block rows, the device analogue of the
-    # reference's interleaved .bwt layout (src/BWT_Index/bwtindex.c:53-75):
-    # row b = [occ_cp[b,0..3] (uint32-cast int32), words[b*8..b*8+7]], so one
-    # contiguous [12]-uint32 gather serves a whole rank query.
-    blocks: jnp.ndarray       # uint32 [n_blocks, 12]
+    # One unified rank table, the device analogue of the reference's
+    # interleaved .bwt layout (src/BWT_Index/bwtindex.c:53-75), padded to
+    # 32-word rows so every rank query is ONE contiguous gather:
+    #  rows [0, pair_base):  single-char blocks of 128 bases
+    #        [cp0..cp3 | 8 packed words (2b/base) | 0...]
+    #  rows [pair_base, ..): pair-symbol blocks of 64 symbols
+    #        [cp0..cp15 | 8 packed words (4b/sym) | 0...]
+    union: jnp.ndarray        # uint32 [n_rows, 32]
     l2: jnp.ndarray           # int32 [5]
     sa_samples: jnp.ndarray   # int32 [n_samples]
+    c16: jnp.ndarray          # int32 [17]
+    pair_exc: jnp.ndarray     # int32 [2]
     seq_len: int
     primary: int
     sa_intv: int
+    pair_base: int
 
     @staticmethod
     def from_host(fm: FMIndex) -> "DeviceFMIndex":
         if fm.seq_len >= (1 << 31):
             raise NotImplementedError("int32 device index needs seq_len < 2^31")
-        n_blocks = fm.occ_cp.shape[0]
-        rows = np.empty((n_blocks, 4 + WORDS_PER_BLOCK), dtype=np.uint32)
-        rows[:, :4] = fm.occ_cp.astype(np.int32).view(np.uint32).reshape(
-            n_blocks, 4)
-        rows[:, 4:] = fm.bwt_packed.reshape(n_blocks, WORDS_PER_BLOCK)
+        n1 = fm.occ_cp.shape[0]
+        n2 = fm.pair_cp.shape[0] if fm.pair_cp is not None else 0
+        rows = np.zeros((n1 + n2, UNION_ROW), dtype=np.uint32)
+        rows[:n1, :4] = fm.occ_cp.astype(np.int32).view(np.uint32).reshape(
+            n1, 4)
+        rows[:n1, 4:12] = fm.bwt_packed.reshape(n1, WORDS_PER_BLOCK)
+        if n2:
+            rows[n1:, :16] = fm.pair_cp.astype(np.int32).view(
+                np.uint32).reshape(n2, 16)
+            rows[n1:, 16:24] = fm.pbwt_packed.reshape(n2, 8)
         return DeviceFMIndex(
-            blocks=jnp.asarray(rows),
+            union=jnp.asarray(rows),
             l2=jnp.asarray(fm.l2, dtype=jnp.int32),
             sa_samples=jnp.asarray(fm.sa_samples, dtype=jnp.int32),
+            c16=jnp.asarray(fm.c16 if fm.c16 is not None
+                            else np.zeros(17), dtype=jnp.int32),
+            pair_exc=jnp.asarray(fm.pair_exc if fm.pair_exc is not None
+                                 else np.zeros(2), dtype=jnp.int32),
             seq_len=int(fm.seq_len),
             primary=int(fm.primary),
             sa_intv=int(fm.sa_intv),
+            pair_base=n1,
         )
 
 
@@ -95,9 +114,9 @@ def occ4(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     valid = k >= 0
     ka = k - (k >= dfm.primary).astype(k.dtype)
     ka_safe = jnp.maximum(ka, 0)
-    row = dfm.blocks[ka_safe >> 7]                           # [B, 12] uint32
+    row = dfm.union[ka_safe >> 7]                            # [B, 32] uint32
     cp = row[:, :4].astype(jnp.int32)                        # [B, 4]
-    words = row[:, 4:]                                       # [B, 8]
+    words = row[:, 4:12]                                     # [B, 8]
     base_mask = jnp.asarray(_MASK_TABLE)[ka_safe & 127]      # [B, 8]
     # per-2-bit-field class selectors on [B, 8] (cheaper than broadcasting a
     # [B, 8, 4] char comparison): field == c <=> (hi-bit, lo-bit) pattern
@@ -118,7 +137,7 @@ def occ4(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
 
 def bwt_code_at(dfm: DeviceFMIndex, x: jnp.ndarray) -> jnp.ndarray:
     """BWT base code at $-removed position x, batched."""
-    w = dfm.blocks[x >> 7, 4 + ((x >> 4) & 7)]
+    w = dfm.union[x >> 7, 4 + ((x >> 4) & 7)]
     sh = (((~x) & 15) << 1).astype(jnp.uint32)
     return ((w >> sh) & jnp.uint32(3)).astype(jnp.int32)
 
@@ -151,6 +170,62 @@ def extend_forward(dfm: DeviceFMIndex, ik0, ik1, ik2, nt):
     i = 3 - nt
     rows = jnp.arange(ik0.shape[0])
     return x0_all[rows, i], x1_all[rows, i], s_all[rows, i]
+
+
+def occ_class_mixed(dfm: DeviceFMIndex, k: jnp.ndarray,
+                    is_pair: jnp.ndarray, cls: jnp.ndarray) -> jnp.ndarray:
+    """Per-lane single-class rank, mode-selected, one gather.
+
+    single mode (is_pair False): # of 2-bit class `cls` in B'[0..k_adj]
+      (bwt_occ4 semantics for one class; cls in [0,4), k >= 0).
+    pair mode: # of 4-bit class `cls` in PBWT[0..k) with the SA<2 exception
+      rows subtracted from class 0.
+    """
+    j8 = jnp.arange(8, dtype=jnp.int32)[None, :]
+
+    # row index per mode
+    ka = k - (k >= dfm.primary).astype(k.dtype)
+    ka_s = jnp.maximum(ka, 0)
+    row_idx = jnp.where(is_pair, dfm.pair_base + (k >> 6), ka_s >> 7)
+    row = dfm.union[row_idx]                                 # [B, 32]
+
+    # --- single interpretation ---
+    words_s = row[:, 4:12]
+    lim_s = jnp.clip((ka_s & 127)[:, None] + 1 - 16 * j8, 0, 16)
+    mask_s = jnp.where(lim_s == 0, jnp.uint32(0),
+                       jnp.uint32(0xFFFFFFFF)
+                       << jnp.clip(32 - 2 * lim_s, 0, 31).astype(jnp.uint32))
+    cs = jnp.clip(cls, 0, 3).astype(jnp.uint32)
+    x = words_s ^ (cs[:, None] * jnp.uint32(0x55555555))
+    nx = ~x
+    eq_s = nx & (nx >> jnp.uint32(1)) & _LOW
+    cnt_s = jnp.sum(jax.lax.population_count(eq_s & mask_s),
+                    axis=1).astype(jnp.int32)
+    cp_s = jnp.sum(jnp.where(jnp.arange(4)[None, :] == cls[:, None],
+                             row[:, :4].astype(jnp.int32), 0), axis=1,
+                   dtype=jnp.int32)
+
+    # --- pair interpretation (count strictly below k) ---
+    words_p = row[:, 16:24]
+    m = (k & 63)[:, None]
+    keep = jnp.clip(m - 8 * j8, 0, 8)
+    mask_p = jnp.where(keep == 0, jnp.uint32(0),
+                       jnp.uint32(0xFFFFFFFF)
+                       << jnp.clip(32 - 4 * keep, 0, 31).astype(jnp.uint32))
+    cpat = (cls.astype(jnp.uint32) & jnp.uint32(0xF)) * jnp.uint32(0x11111111)
+    xp = words_p ^ cpat[:, None]
+    s = xp | (xp >> jnp.uint32(2))
+    s = s | (s >> jnp.uint32(1))
+    eq_p = (~s) & jnp.uint32(0x11111111)
+    cnt_p = jnp.sum(jax.lax.population_count(eq_p & mask_p),
+                    axis=1).astype(jnp.int32)
+    cp_p = jnp.sum(jnp.where(jnp.arange(16)[None, :] == cls[:, None],
+                             row[:, :16].astype(jnp.int32), 0), axis=1,
+                   dtype=jnp.int32)
+    corr = jnp.where(cls == 0,
+                     (dfm.pair_exc[0] < k).astype(jnp.int32)
+                     + (dfm.pair_exc[1] < k).astype(jnp.int32), 0)
+    return jnp.where(is_pair, cp_p + cnt_p - corr, cp_s + cnt_s)
 
 
 def extend_rc(dfm: DeviceFMIndex, ik1, ik2, nt):

@@ -60,6 +60,7 @@ def _seed_scan(dfm: DeviceFMIndex,
         ext_start=jnp.zeros(B, i32),
         ext_pos=jnp.zeros(B, i32),
         ik1=jnp.zeros(B, i32), ik2=jnp.zeros(B, i32),
+        pair_failed=jnp.zeros(B, jnp.bool_),
         out=jnp.zeros((B, max_out, 4), i32),     # (qPos, len, k0, freq)
         out_n=jnp.zeros(B, i32),
     )
@@ -74,6 +75,7 @@ def _seed_scan(dfm: DeviceFMIndex,
         phase, cursor = s["phase"], s["cursor"]
         ext_start, ext_pos = s["ext_start"], s["ext_pos"]
         ik1, ik2 = s["ik1"], s["ik2"]
+        pair_failed = s["pair_failed"]
 
         in_init = (phase == PHASE_INIT) & (cursor < emit_stops)
         in_ext = phase == PHASE_EXT
@@ -85,14 +87,33 @@ def _seed_scan(dfm: DeviceFMIndex,
         n_ik1 = dfm.l2[3 - c0c] + 1
         n_ik2 = dfm.l2[c0c + 1] - dfm.l2[c0c]
 
-        # ---- EXT step: one forward extension (computed for all lanes) ----
-        nt = code_at(ext_pos)
-        e_ik1, e_ik2 = rank_ops.extend_rc(dfm, ik1, ik2, jnp.clip(nt, 0, 3))
+        # ---- EXT step: pair (2 bases) when possible, else single ----
+        b1 = code_at(ext_pos)
+        b2 = code_at(ext_pos + 1)
+        b1c = jnp.clip(b1, 0, 3)
+        b2c = jnp.clip(b2, 0, 3)
+        can_pair = ((ext_pos + 1 < ext_stops) & (b1 <= 3) & (b2 <= 3)
+                    & ~pair_failed)
+        cls = jnp.where(can_pair, (3 - b2c) * 4 + (3 - b1c), 3 - b1c)
+        kq = jnp.where(can_pair, ik1, ik1 - 1)
+        lq = kq + ik2
+        cnt = rank_ops.occ_class_mixed(
+            dfm, jnp.concatenate([kq, lq]),
+            jnp.concatenate([can_pair, can_pair]),
+            jnp.concatenate([cls, cls]))
+        tk, tl = cnt[:B], cnt[B:]
+        base = jnp.where(can_pair, dfm.c16[jnp.clip(cls, 0, 15)],
+                         dfm.l2[jnp.clip(cls, 0, 3)] + 1)
+        e_ik1 = base + tk
+        e_ik2 = tl - tk
+
+        # single-path termination (only reachable when can_pair is False)
         hit_boundary = ext_pos >= ext_stops
-        hit_amb = nt > 3
-        dead_end = e_ik2 == 0
+        hit_amb = b1 > 3
+        dead_end = (e_ik2 == 0) & ~can_pair
         finalize = in_ext & (hit_boundary | hit_amb | dead_end)
-        ext_ok = in_ext & ~finalize
+        pair_miss = in_ext & can_pair & (e_ik2 == 0)
+        ext_ok = in_ext & ~finalize & ~pair_miss
 
         # ---- finalize ----
         length = ext_pos - ext_start
@@ -117,20 +138,24 @@ def _seed_scan(dfm: DeviceFMIndex,
 
         # ---- state updates ----
         start_ext = in_init & ~init_amb
+        step = jnp.where(can_pair, 2, 1)
         new_phase = jnp.where(start_ext, PHASE_EXT,
                               jnp.where(finalize, PHASE_INIT, phase))
         new_cursor = jnp.where(in_init & init_amb, cursor + 1,
                                jnp.where(finalize, advance, cursor))
         new_ext_start = jnp.where(start_ext, cursor, ext_start)
         new_ext_pos = jnp.where(start_ext, cursor + 1,
-                                jnp.where(ext_ok, ext_pos + 1, ext_pos))
+                                jnp.where(ext_ok, ext_pos + step, ext_pos))
         new_ik1 = jnp.where(start_ext, n_ik1, jnp.where(ext_ok, e_ik1, ik1))
         new_ik2 = jnp.where(start_ext, n_ik2, jnp.where(ext_ok, e_ik2, ik2))
+        new_pf = jnp.where(start_ext | finalize, False,
+                           jnp.where(pair_miss, True,
+                                     jnp.where(ext_ok, False, pair_failed)))
 
         return dict(
             phase=new_phase, cursor=new_cursor,
             ext_start=new_ext_start, ext_pos=new_ext_pos,
-            ik1=new_ik1, ik2=new_ik2,
+            ik1=new_ik1, ik2=new_ik2, pair_failed=new_pf,
             out=out, out_n=out_n,
         )
 

@@ -41,10 +41,13 @@ def shard_index(dfm: DeviceFMIndex, mesh: Mesh) -> DeviceFMIndex:
     """Replicate the FM-index arrays across the mesh."""
     rep = replicated(mesh)
     return DeviceFMIndex(
-        blocks=jax.device_put(dfm.blocks, rep),
+        union=jax.device_put(dfm.union, rep),
         l2=jax.device_put(dfm.l2, rep),
         sa_samples=jax.device_put(dfm.sa_samples, rep),
+        c16=jax.device_put(dfm.c16, rep),
+        pair_exc=jax.device_put(dfm.pair_exc, rep),
         seq_len=dfm.seq_len, primary=dfm.primary, sa_intv=dfm.sa_intv,
+        pair_base=dfm.pair_base,
     )
 
 
