@@ -49,6 +49,9 @@ class DeviceFMIndex:
 
     @staticmethod
     def from_host(fm: FMIndex) -> "DeviceFMIndex":
+        cached = getattr(fm, "_device_cache", None)
+        if cached is not None:
+            return cached
         if fm.seq_len >= (1 << 31):
             raise NotImplementedError("int32 device index needs seq_len < 2^31")
         n1 = fm.occ_cp.shape[0]
@@ -61,7 +64,7 @@ class DeviceFMIndex:
             rows[n1:, :16] = fm.pair_cp.astype(np.int32).view(
                 np.uint32).reshape(n2, 16)
             rows[n1:, 16:24] = fm.pbwt_packed.reshape(n2, 8)
-        return DeviceFMIndex(
+        dfm = DeviceFMIndex(
             union=jnp.asarray(rows),
             l2=jnp.asarray(fm.l2, dtype=jnp.int32),
             sa_samples=jnp.asarray(fm.sa_samples, dtype=jnp.int32),
@@ -74,6 +77,8 @@ class DeviceFMIndex:
             sa_intv=int(fm.sa_intv),
             pair_base=n1,
         )
+        fm._device_cache = dfm
+        return dfm
 
 
 _LOW = jnp.uint32(0x55555555)
