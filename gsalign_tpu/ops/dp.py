@@ -39,39 +39,48 @@ WILDCARD = 4
 OP_M, OP_D, OP_I, OP_PAD = 0, 1, 2, 3
 
 
-def _dp_forward_single(q_codes, t_codes, ql, tl, L):
-    """Direction bytes for one problem. q_codes/t_codes int32 [L] (pad 4)."""
+def _dp_forward_batch(q_codes, t_codes, ql, tl, L):
+    """Direction bytes for a batch. q/t int32 [B, L] (pad 4), ql/tl [B].
+
+    The score row needs Q[r-t]: rather than gathering a reversed-query slice
+    per problem per row (a vmapped dynamic_slice — catastrophically slow as
+    an XLA gather), the Q-diagonal vector is carried in the scan state and
+    shifted by one each anti-diagonal, inserting Q[:, r] at lane 0. Rows past
+    a problem's last real anti-diagonal write garbage into its frozen band;
+    nothing reads those cells (traceback stays within r <= ql+tl-2).
+    """
     i32 = jnp.int32
+    B = q_codes.shape[0]
     n_rows = 2 * L - 1
-    # reversed (padded) query with wildcard guards both sides:
-    # qrev[k] = Q_padded[L-1-k], so Q[r-t] = qrev_pad[(2L-1-r) + t]
-    qrev = q_codes[::-1]
-    qrev_pad = jnp.concatenate([jnp.full(L, WILDCARD, i32), qrev,
-                                jnp.full(L, WILDCARD, i32)])
+    q_pad = jnp.concatenate(
+        [q_codes, jnp.full((B, L), WILDCARD, i32)], axis=1)   # Q[:, r], r<2L
+    t_idx = jax.lax.broadcasted_iota(i32, (B, L), 1)
 
     def row(carry, r):
-        u, v, x, y = carry
-        r_eff = jnp.minimum(r, ql + tl - 2)
+        u, v, x, y, qrr_prev = carry
+        r_eff = jnp.minimum(r, ql + tl - 2)                   # [B]
         st0 = jnp.maximum(0, r_eff - ql + 1)
         en0 = jnp.minimum(r_eff, tl - 1)
 
-        # boundary pre-sets on the previous-row arrays at t = r (first DP row)
-        in_top = r_eff <= tl - 1
-        u = jnp.where(in_top, u.at[r_eff].set(jnp.where(r_eff > 0, GAP_OPEN, 0)), u)
-        y = jnp.where(in_top, y.at[r_eff].set(0), y)
+        # boundary pre-sets at t = r_eff (top DP row), per problem
+        in_top = (r_eff <= tl - 1)[:, None]
+        at_r = t_idx == r_eff[:, None]
+        u = jnp.where(in_top & at_r,
+                      jnp.where(r_eff[:, None] > 0, GAP_OPEN, 0), u)
+        y = jnp.where(in_top & at_r, 0, y)
 
-        # s[t] = score(T[t], Q[r-t]); wildcard -> 0
-        start = 2 * L - 1 - r_eff
-        qrr = jax.lax.dynamic_slice(qrev_pad, (start,), (L,))
+        # qrr[t] = Q[r-t]: shift previous diagonal, insert Q[:, r] at t=0
+        qcol = jax.lax.dynamic_slice_in_dim(q_pad, r, 1, axis=1)   # [B, 1]
+        qrr = jnp.concatenate([qcol, qrr_prev[:, :-1]], axis=1)
         is_wild = (t_codes >= WILDCARD) | (qrr >= WILDCARD)
         s = jnp.where(is_wild, 0,
                       jnp.where(t_codes == qrr, MATCH, MISMATCH)).astype(i32)
 
         # shifted previous-row values: xt1[t] = x[t-1], vt1[t] = v[t-1]
-        x1 = i32(0)
-        v1 = jnp.where(r_eff > 0, i32(GAP_OPEN), i32(0))  # only used when st0==0
-        xt1 = jnp.concatenate([jnp.array([x1], i32), x[:-1]])
-        vt1 = jnp.concatenate([v[:1] * 0 + v1, v[:-1]])
+        x1 = jnp.zeros((B, 1), i32)
+        v1 = jnp.where(r_eff[:, None] > 0, i32(GAP_OPEN), 0)
+        xt1 = jnp.concatenate([x1, x[:, :-1]], axis=1)
+        vt1 = jnp.concatenate([v1, v[:, :-1]], axis=1)
 
         z = s + QE2
         a = xt1 + vt1
@@ -91,19 +100,28 @@ def _dp_forward_single(q_codes, t_codes, ql, tl, L):
         d = d | jnp.where(a2 > 0, jnp.uint8(8), jnp.uint8(0))
         d = d | jnp.where(b2 > 0, jnp.uint8(0x10), jnp.uint8(0))
 
-        t_idx = jnp.arange(L, dtype=i32)
-        in_band = (t_idx >= st0) & (t_idx <= en0)
+        in_band = (t_idx >= st0[:, None]) & (t_idx <= en0[:, None])
         u = jnp.where(in_band, u_new, u)
         v = jnp.where(in_band, v_new, v)
         x = jnp.where(in_band, x_new, x)
         y = jnp.where(in_band, y_new, y)
         d = jnp.where(in_band, d, jnp.uint8(0))
-        return (u, v, x, y), d
+        return (u, v, x, y, qrr), d
 
-    z0 = jnp.zeros(L, i32)
-    (_, _, _, _), d_rows = jax.lax.scan(
-        row, (z0, z0, z0, z0), jnp.arange(n_rows, dtype=i32))
-    return d_rows   # uint8 [2L-1, L]
+    z0 = jnp.zeros((B, L), i32)
+    qrr0 = jnp.full((B, L), WILDCARD, i32)
+    (_, _, _, _, _), d_rows = jax.lax.scan(
+        row, (z0, z0, z0, z0, qrr0), jnp.arange(n_rows, dtype=i32))
+    return d_rows   # uint8 [2L-1, B, L]
+
+
+def _dp_forward_single(q_codes, t_codes, ql, tl, L):
+    """Single-problem wrapper (kept for tests)."""
+    d = _dp_forward_batch(q_codes[None], t_codes[None], ql[None]
+                          if hasattr(ql, "shape") else jnp.asarray([ql]),
+                          tl[None] if hasattr(tl, "shape")
+                          else jnp.asarray([tl]), L)
+    return d[:, 0, :]
 
 
 def _traceback_single(d_rows, ql, tl, L):
@@ -145,10 +163,10 @@ def dp_align_batch(q_codes: jnp.ndarray,   # int32 [B, L] ref fragments (pad 4)
                    tl: jnp.ndarray,        # int32 [B]
                    L: int) -> jnp.ndarray:
     """Returns reverse-order op codes uint8 [B, 2L] (OP_PAD beyond the end)."""
-    def one(q, t, a, b):
-        d_rows = _dp_forward_single(q, t, a, b, L)
-        return _traceback_single(d_rows, a, b, L)
-    return jax.vmap(one)(q_codes, t_codes, ql, tl)
+    d_all = _dp_forward_batch(q_codes, t_codes, ql, tl, L)   # [2L-1, B, L]
+    d_all = jnp.moveaxis(d_all, 1, 0)                        # [B, 2L-1, L]
+    return jax.vmap(lambda d, a, b: _traceback_single(d, a, b, L))(
+        d_all, ql, tl)
 
 
 def align_fragments(ref_frags, qry_frags, bucket_sizes=(64, 128, 256, 512,
