@@ -81,3 +81,14 @@ def test_aln_format_byte_parity(fm, pair, tmp_path):
     with open(prefix + ".vcf", "rb") as fh:
         assert _strip_reference_line(fh.read()) == \
             _strip_reference_line(golden("g_aln.vcf"))
+
+
+def test_dotplot_smoke(fm, pair, tmp_path):
+    """-dp writes a PostScript dotplot per query chromosome."""
+    import glob
+    cfg = dataclasses.replace(AlignConfig(), show_plot=True)
+    prefix, _, _ = run(fm, pair, tmp_path, cfg, "dp")
+    plots = glob.glob(prefix + "-*.ps")
+    assert len(plots) >= 1
+    with open(plots[0], "rb") as fh:
+        assert fh.read(4) == b"%!PS"
