@@ -172,12 +172,40 @@ def _next_pow2(n: int, floor: int = 64) -> int:
     return m
 
 
+MAX_LANES_PER_CALL = 4096   # keep single device calls well under the remote
+                            # execution deadline and bound buffer memory
+
+
 def _run_scan(dfm, qc_dev, starts, emit_stops, ext_stops,
               min_seed_length, max_seed_freq, sensitive, max_out, mesh=None):
     """Launch the scan kernel with power-of-two lane padding (stable compiled
     shapes) and minimal device->host transfer (buffers trimmed to the widest
-    actually-used slot count)."""
+    actually-used slot count). Lane sets beyond MAX_LANES_PER_CALL run as
+    independent slabs (lanes don't interact)."""
     B = len(starts)
+    if B > MAX_LANES_PER_CALL:
+        outs = []
+        for s in range(0, B, MAX_LANES_PER_CALL):
+            e = min(s + MAX_LANES_PER_CALL, B)
+            outs.append(_run_scan(dfm, qc_dev, starts[s:e], emit_stops[s:e],
+                                  ext_stops[s:e], min_seed_length,
+                                  max_seed_freq, sensitive, max_out,
+                                  mesh=mesh))
+        width = max(o[0].shape[1] for o in outs)
+
+        def padw(a):
+            if a.shape[1] == width:
+                return a
+            out = np.zeros((a.shape[0], width), dtype=a.dtype)
+            out[:, :a.shape[1]] = a
+            return out
+
+        return (np.concatenate([padw(o[0]) for o in outs]),
+                np.concatenate([padw(o[1]) for o in outs]),
+                np.concatenate([padw(o[2]) for o in outs]),
+                np.concatenate([padw(o[3]) for o in outs]),
+                np.concatenate([o[4] for o in outs]),
+                np.concatenate([o[5] for o in outs]))
     Bp = _next_pow2(B)
     if mesh is not None:
         from gsalign_tpu.parallel import mesh as mesh_lib
