@@ -184,13 +184,16 @@ def _run_scan(dfm, qc_dev, starts, emit_stops, ext_stops,
     independent slabs (lanes don't interact)."""
     B = len(starts)
     if B > MAX_LANES_PER_CALL:
-        outs = []
+        # dispatch every slab before fetching any result: JAX queues the
+        # launches asynchronously so the device pipeline stays full
+        pending = []
         for s in range(0, B, MAX_LANES_PER_CALL):
             e = min(s + MAX_LANES_PER_CALL, B)
-            outs.append(_run_scan(dfm, qc_dev, starts[s:e], emit_stops[s:e],
-                                  ext_stops[s:e], min_seed_length,
-                                  max_seed_freq, sensitive, max_out,
-                                  mesh=mesh))
+            pending.append((e - s, _launch_scan(
+                dfm, qc_dev, starts[s:e], emit_stops[s:e], ext_stops[s:e],
+                min_seed_length, max_seed_freq, sensitive, max_out,
+                mesh=mesh)))
+        outs = [_fetch_scan(n_real, raw, max_out) for n_real, raw in pending]
         width = max(o[0].shape[1] for o in outs)
 
         def padw(a):
@@ -206,6 +209,16 @@ def _run_scan(dfm, qc_dev, starts, emit_stops, ext_stops,
                 np.concatenate([padw(o[3]) for o in outs]),
                 np.concatenate([o[4] for o in outs]),
                 np.concatenate([o[5] for o in outs]))
+    return _fetch_scan(B, _launch_scan(
+        dfm, qc_dev, starts, emit_stops, ext_stops, min_seed_length,
+        max_seed_freq, sensitive, max_out, mesh=mesh), max_out)
+
+
+def _launch_scan(dfm, qc_dev, starts, emit_stops, ext_stops,
+                 min_seed_length, max_seed_freq, sensitive, max_out,
+                 mesh=None):
+    """Dispatch one scan slab (async); returns the raw device arrays."""
+    B = len(starts)
     Bp = _next_pow2(B)
     if mesh is not None:
         from gsalign_tpu.parallel import mesh as mesh_lib
@@ -225,10 +238,15 @@ def _run_scan(dfm, qc_dev, starts, emit_stops, ext_stops,
         ex = mesh_lib.shard_lanes(ex, mesh, 0)
     else:
         st, em, ex = jnp.asarray(st), jnp.asarray(em), jnp.asarray(ex)
-    out_q, out_len, out_k0, out_freq, out_n, exits = _seed_scan(
+    return _seed_scan(
         dfm, qc_dev, st, em, ex,
         min_seed_length=min_seed_length, max_seed_freq=max_seed_freq,
         sensitive=sensitive, max_out=max_out)
+
+
+def _fetch_scan(B, raw, max_out):
+    """Bring one slab's results to host, trimmed to the used slot width."""
+    out_q, out_len, out_k0, out_freq, out_n, exits = raw
     n = np.asarray(out_n)[:B]
     exits = np.asarray(exits)[:B]
     width = _next_pow2(int(n.max()) if B else 1, 8)
