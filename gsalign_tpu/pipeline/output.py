@@ -17,6 +17,8 @@ from gsalign_tpu.genome.coords import ChrLocIndex, gen_coordinate_info
 from gsalign_tpu.pipeline.chain import Block
 
 # ReverseMap (src/tools.cpp:3-31): complement for ACGTUN upper/lower + '-'.
+_GAP = ord("-")
+
 REVERSE_MAP = np.zeros(256, dtype=np.uint8)
 for _src, _dst in ((45, 45), (65, 84), (67, 71), (71, 67), (78, 78),
                    (84, 65), (85, 65), (97, 84), (99, 71), (103, 67),
@@ -32,20 +34,45 @@ def self_complementary(arr: np.ndarray) -> np.ndarray:
 def _build_rows(blk: Block, qry_chars: np.ndarray, ref_chars: np.ndarray):
     """Concatenate per-pair rows (src/tools.cpp:170-184): seed pairs copy the
     query characters into BOTH rows; non-seed pairs use their (possibly
-    implied) aligned rows."""
-    from gsalign_tpu.pipeline.generate import pair_rows
-    parts1, parts2 = [], []
-    for j in range(blk.n):
-        if blk.b_seed[j]:
-            q = qry_chars[int(blk.q_pos[j]): int(blk.q_pos[j] + blk.q_len[j])]
-            parts1.append(q)
-            parts2.append(q)
-        else:
-            a1, a2 = pair_rows(blk, j, qry_chars, ref_chars)
-            parts1.append(a1)
-            parts2.append(a2)
-    a1 = np.concatenate(parts1) if parts1 else np.zeros(0, np.uint8)
-    a2 = np.concatenate(parts2) if parts2 else np.zeros(0, np.uint8)
+    implied) aligned rows. Vectorized: spans are copied with segmented fancy
+    indexing; only DP pairs (materialized bytes) go through a Python loop."""
+    from gsalign_tpu.pipeline.generate import _segment_indices
+    n = blk.n
+    has_aln = np.asarray([a is not None for a in blk.aln1])
+    row_len = np.where(blk.b_seed, blk.q_len,
+                       np.where(has_aln, 0,
+                                np.maximum(blk.q_len, blk.r_len)))
+    dp_idx = np.nonzero(has_aln & ~blk.b_seed)[0]
+    for j in dp_idx:
+        row_len[j] = len(blk.aln1[j])
+    offs = np.concatenate([[0], np.cumsum(row_len)])
+    total = int(offs[-1])
+    a1 = np.full(total, _GAP, dtype=np.uint8)
+    a2 = np.full(total, _GAP, dtype=np.uint8)
+
+    def fill(mask, row, src_chars, src_pos):
+        idxm = np.nonzero(mask)[0]
+        if idxm.size == 0:
+            return
+        lens = row_len[idxm]
+        dst = _segment_indices(offs[idxm], lens)
+        src = _segment_indices(src_pos[idxm], lens)
+        row[dst] = src_chars[src]
+
+    seeds = blk.b_seed
+    direct = (~seeds) & ~has_aln & (blk.q_len == blk.r_len) & (blk.q_len > 0)
+    gap_r = (~seeds) & ~has_aln & (blk.q_len == 0)
+    gap_q = (~seeds) & ~has_aln & (blk.r_len == 0) & (blk.q_len > 0)
+    fill(seeds, a1, qry_chars, blk.q_pos)      # seeds: QUERY chars, both rows
+    fill(seeds, a2, qry_chars, blk.q_pos)
+    fill(direct, a1, ref_chars, blk.r_pos)
+    fill(direct, a2, qry_chars, blk.q_pos)
+    fill(gap_r, a1, ref_chars, blk.r_pos)      # a2 stays '-'
+    fill(gap_q, a2, qry_chars, blk.q_pos)      # a1 stays '-'
+    for j in dp_idx:
+        o = int(offs[j])
+        a1[o:o + row_len[j]] = blk.aln1[j]
+        a2[o:o + row_len[j]] = blk.aln2[j]
     return a1, a2
 
 

@@ -10,15 +10,16 @@ Quirks preserved for parity:
 - variants from reverse-strand blocks carry reverse-strand coordinates and
   reverse-complemented alleles (rPos >= N), exactly as the reference emits.
 
-Variants are appended in block/pair/column order (matching the reference's
-emission order, which the final stable (chr,pos) sort preserves for ties);
-reference-coordinate -> chromosome-position conversion is deferred and done
-in one vectorized batch at the end.
+SNVs from gap-free pairs (the overwhelming majority) are found columnar —
+one segmented compare across all direct pairs of a block — and stored as
+arrays; only indel FragPairs and DP-aligned pairs walk per pair. Emission
+order (block, pair, column) is reconstructed with sort keys so the final
+stable (chr, pos) sort ties break exactly like the reference's insertion
+order.
 """
 
 from __future__ import annotations
 
-import dataclasses
 from typing import List
 
 import numpy as np
@@ -31,44 +32,80 @@ TYPE_SNV, TYPE_INS, TYPE_DEL = 0, 1, 2
 _GAP = ord("-")
 
 
-@dataclasses.dataclass
-class Variant:
-    chr_idx: int
-    pos: int              # 1-based chromosome position (filled by finalize)
-    ref_frag: bytes
-    alt_frag: bytes
-    type: int
-    r_pos: int = -1       # raw fwd+RC coordinate pending conversion
-
-
 class VariantCollector:
+    """Columnar SNVs + object-list indels/complex, with global sequence
+    numbers preserving reference emission order for tie-breaking."""
+
     def __init__(self):
-        self.variants: List[Variant] = []
+        self.snv_chr: List[np.ndarray] = []
+        self.snv_rpos: List[np.ndarray] = []
+        self.snv_ref: List[np.ndarray] = []
+        self.snv_alt: List[np.ndarray] = []
+        self.snv_seq: List[np.ndarray] = []
+        self.snv_pos: List[np.ndarray] = []   # filled by finalize
+        self.other = []     # (chr, r_raw, ref bytes, alt bytes, type, seq)
+        self.other_pos: List[int] = []
         self.n_snv = 0
         self.n_ins = 0
         self.n_del = 0
-        self._finalized = 0
+        self._seq = 0
+        self._finalized_snv = 0
+        self._finalized_other = 0
 
-    def add_raw(self, chr_idx: int, r_pos: int, ref_frag: bytes,
-                alt_frag: bytes, typ: int):
-        self.variants.append(Variant(chr_idx, -1, ref_frag, alt_frag, typ,
-                                     r_pos))
-        if typ == TYPE_SNV:
-            self.n_snv += 1
-        elif typ == TYPE_INS:
+    def take_seq(self, n: int) -> int:
+        base = self._seq
+        self._seq += n
+        return base
+
+    def add_snv_block(self, chr_idx, r_raw, ref_b, alt_b, seq):
+        m = len(r_raw)
+        if m == 0:
+            return
+        self.snv_chr.append(np.full(m, chr_idx, dtype=np.int32))
+        self.snv_rpos.append(np.asarray(r_raw, dtype=np.int64))
+        self.snv_ref.append(np.asarray(ref_b, dtype=np.uint8))
+        self.snv_alt.append(np.asarray(alt_b, dtype=np.uint8))
+        self.snv_seq.append(np.asarray(seq, dtype=np.int64))
+        self.n_snv += m
+
+    def add_other(self, chr_idx, r_raw, ref_frag: bytes, alt_frag: bytes,
+                  typ: int, seq: int):
+        self.other.append((chr_idx, r_raw, ref_frag, alt_frag, typ, seq))
+        if typ == TYPE_INS:
             self.n_ins += 1
-        else:
+        elif typ == TYPE_DEL:
             self.n_del += 1
+        else:
+            self.n_snv += 1
 
     def finalize(self, chr_index: ChrLocIndex):
-        """Convert pending raw coordinates to 1-based chromosome positions."""
-        pending = self.variants[self._finalized:]
-        if pending:
-            r = np.asarray([v.r_pos for v in pending], dtype=np.int64)
-            _, g_pos, _ = chr_index.coordinate(r)
-            for v, g in zip(pending, g_pos):
-                v.pos = int(g)
-        self._finalized = len(self.variants)
+        while self._finalized_snv < len(self.snv_rpos):
+            i = self._finalized_snv
+            _, g, _ = chr_index.coordinate(self.snv_rpos[i])
+            self.snv_pos.append(g.astype(np.int64))
+            self._finalized_snv += 1
+        if self._finalized_other < len(self.other):
+            pending = self.other[self._finalized_other:]
+            r = np.asarray([p[1] for p in pending], dtype=np.int64)
+            _, g, _ = chr_index.coordinate(r)
+            self.other_pos.extend(int(x) for x in g)
+            self._finalized_other = len(self.other)
+
+    # --- convenience for tests: materialized, (chr,pos,seq)-sorted rows ---
+    @property
+    def variants(self):
+        rows = []
+        for i in range(len(self.snv_rpos)):
+            for j in range(len(self.snv_rpos[i])):
+                rows.append((int(self.snv_chr[i][j]),
+                             int(self.snv_pos[i][j]),
+                             bytes(self.snv_ref[i][j:j + 1]),
+                             bytes(self.snv_alt[i][j:j + 1]),
+                             TYPE_SNV, int(self.snv_seq[i][j])))
+        for k, (c, _, rf, af, t, s) in enumerate(self.other):
+            rows.append((c, self.other_pos[k], rf, af, t, s))
+        rows.sort(key=lambda r: (r[0], r[1], r[5]))
+        return rows
 
 
 def identify_variants(blocks: List[Block], qry_chars: np.ndarray,
@@ -76,65 +113,95 @@ def identify_variants(blocks: List[Block], qry_chars: np.ndarray,
                       collector: VariantCollector) -> None:
     """Per-chromosome variant pass (VariantIdentification,
     src/SeqVariant.cpp:12-119). Blocks must carry .coor already."""
-    from gsalign_tpu.pipeline.generate import pair_rows
+    from gsalign_tpu.pipeline.generate import _segment_indices
     qry_codes = NT4_TABLE[qry_chars]
     ref_codes = NT4_TABLE[ref_chars]
     for blk in blocks:
         if blk.b_dup:
             continue
         chr_idx = blk.coor.chromosome_idx
-        for j in range(blk.n):
-            if blk.b_seed[j]:
-                continue
+        nonseed = ~blk.b_seed
+        has_aln = np.asarray([a is not None for a in blk.aln1]) \
+            if blk.n else np.zeros(0, dtype=bool)
+        direct = nonseed & ~has_aln & (blk.q_len == blk.r_len) & \
+            (blk.q_len > 0)
+        special = np.nonzero(nonseed & ~direct)[0]
+
+        # --- columnar SNVs over all gap-free pairs of the block ---
+        didx = np.nonzero(direct)[0]
+        snv_pair = snv_col = snv_flat_q = snv_flat_r = None
+        if didx.size:
+            lens = blk.q_len[didx]
+            qi = _segment_indices(blk.q_pos[didx], lens)
+            ri = _segment_indices(blk.r_pos[didx], lens)
+            qf = qry_codes[qi]
+            bad = (qf != ref_codes[ri]) & (qf != 4)
+            flat = np.nonzero(bad)[0]
+            if flat.size:
+                seg_start = np.repeat(np.cumsum(lens) - lens, lens)
+                snv_pair = didx[np.searchsorted(np.cumsum(lens),
+                                                flat, side="right")]
+                snv_col = flat - seg_start[flat]
+                snv_flat_q = qi[flat]
+                snv_flat_r = ri[flat]
+
+        # --- per-pair events for indel / DP pairs (rare) ---
+        events = []    # (pair_idx, col, type, r_raw, ref_frag, alt_frag)
+        for j in special:
+            j = int(j)
             q_pos, r_pos = int(blk.q_pos[j]), int(blk.r_pos[j])
             q_len, r_len = int(blk.q_len[j]), int(blk.r_len[j])
             if q_len == 0 and r_len == 0:
                 continue
-            if q_len == 0:      # deletion FragPair
+            if q_len == 0:          # deletion FragPair
                 ref_frag = bytes(ref_chars[r_pos - 1: r_pos + r_len])
                 alt = bytes(qry_chars[q_pos - 1: q_pos])
-                collector.add_raw(chr_idx, r_pos - 1, ref_frag, alt, TYPE_DEL)
-            elif r_len == 0:    # insertion FragPair
+                events.append((j, 0, TYPE_DEL, r_pos - 1, ref_frag, alt))
+            elif r_len == 0:        # insertion FragPair
                 alt_frag = bytes(qry_chars[q_pos - 1: q_pos + q_len])
                 ref = bytes(ref_chars[r_pos - 1: r_pos])
-                collector.add_raw(chr_idx, r_pos - 1, ref, alt_frag, TYPE_INS)
-            elif q_len == 1 and r_len == 1:
-                rc = ref_codes[r_pos]
-                qc = qry_codes[q_pos]
-                if rc != qc and qc != 4:
-                    collector.add_raw(chr_idx, r_pos,
-                                      bytes(ref_chars[r_pos:r_pos + 1]),
-                                      bytes(qry_chars[q_pos:q_pos + 1]),
-                                      TYPE_SNV)
-            elif blk.aln1[j] is None:
-                # gap-free implied pair: SNV columns only, vectorized
-                rf = ref_codes[r_pos:r_pos + r_len]
-                qf = qry_codes[q_pos:q_pos + q_len]
-                snv = np.nonzero((rf != qf) & (qf != 4))[0]
-                for d in snv:
-                    d = int(d)
-                    collector.add_raw(
-                        chr_idx, r_pos + d,
-                        bytes(ref_chars[r_pos + d:r_pos + d + 1]),
-                        bytes(qry_chars[q_pos + d:q_pos + d + 1]), TYPE_SNV)
-            else:
-                a1, a2 = pair_rows(blk, j, qry_chars, ref_chars)
-                _walk_alignment(a1, a2, q_pos, r_pos, chr_idx, qry_chars,
-                                ref_chars, collector)
+                events.append((j, 0, TYPE_INS, r_pos - 1, ref, alt_frag))
+            else:                   # DP-aligned pair: walk the rows
+                _walk_alignment(blk.aln1[j], blk.aln2[j], q_pos, r_pos, j,
+                                qry_chars, ref_chars, events)
+
+        n_snv = 0 if snv_pair is None else len(snv_pair)
+        n_ev = len(events)
+        if n_snv == 0 and n_ev == 0:
+            continue
+        base = collector.take_seq(n_snv + n_ev)
+        # global emission order = (pair, column); merge the two streams
+        if n_snv:
+            keys_snv = (snv_pair.astype(np.int64) << 32) | \
+                snv_col.astype(np.int64)
+        else:
+            keys_snv = np.zeros(0, dtype=np.int64)
+        keys_ev = np.asarray([(e[0] << 32) | e[1] for e in events],
+                             dtype=np.int64)
+        all_keys = np.concatenate([keys_snv, keys_ev])
+        order = np.argsort(all_keys, kind="stable")
+        rank = np.empty_like(order)
+        rank[order] = np.arange(len(order))
+        if n_snv:
+            collector.add_snv_block(
+                chr_idx,
+                blk.r_pos[snv_pair] + snv_col,
+                ref_chars[snv_flat_r], qry_chars[snv_flat_q],
+                base + rank[:n_snv])
+        for k, (j, col, typ, r_raw, rf, af) in enumerate(events):
+            collector.add_other(chr_idx, r_raw, rf, af, typ,
+                                base + int(rank[n_snv + k]))
     collector.finalize(chr_index)
 
 
 def _walk_alignment(a1: np.ndarray, a2: np.ndarray, q_pos0: int, r_pos0: int,
-                    chr_idx: int, qry_chars: np.ndarray,
-                    ref_chars: np.ndarray,
-                    collector: VariantCollector) -> None:
-    """The aligned-string walk (src/SeqVariant.cpp:64-115), vectorized:
-    consumed-character prefix sums give rPos/qPos at each column; indel runs
-    and SNV columns are found by masks but emitted in column order."""
+                    pair_idx: int, qry_chars: np.ndarray,
+                    ref_chars: np.ndarray, events: list) -> None:
+    """The aligned-string walk (src/SeqVariant.cpp:64-115): indel runs and
+    SNV columns by masks, emitted in column order."""
     n = len(a1)
     gap1 = a1 == _GAP
     gap2 = a2 == _GAP
-    # rPos/qPos BEFORE each column
     r_at = r_pos0 + np.concatenate([[0], np.cumsum(~gap1)])[:n]
     q_at = q_pos0 + np.concatenate([[0], np.cumsum(~gap2)])[:n]
 
@@ -144,34 +211,27 @@ def _walk_alignment(a1: np.ndarray, a2: np.ndarray, q_pos0: int, r_pos0: int,
                           (NT4_TABLE[a1] != NT4_TABLE[a2]) &
                           (NT4_TABLE[a2] != 4))[0]
 
-    events = []
     for i in ins_starts:
         i = int(i)
         ind_len = 1
         while i + ind_len < n and gap1[i + ind_len]:
             ind_len += 1
-        events.append((i, TYPE_INS, ind_len))
+        q_cur = int(q_at[i])
+        frag2 = bytes(qry_chars[q_cur - 1: q_cur + ind_len])
+        events.append((pair_idx, i, TYPE_INS, int(r_at[i]) - 1,
+                       frag2[:1], frag2))
     for i in del_starts:
         i = int(i)
         ind_len = 1
         while i + ind_len < n and gap2[i + ind_len]:
             ind_len += 1
-        events.append((i, TYPE_DEL, ind_len))
+        r_cur = int(r_at[i])
+        frag1 = bytes(ref_chars[r_cur - 1: r_cur + ind_len])
+        events.append((pair_idx, i, TYPE_DEL, r_cur - 1, frag1, frag1[:1]))
     for i in snv_cols:
-        events.append((int(i), TYPE_SNV, 1))
-    events.sort(key=lambda e: e[0])
-
-    for i, typ, ind_len in events:
-        r_cur, q_cur = int(r_at[i]), int(q_at[i])
-        if typ == TYPE_INS:
-            frag2 = bytes(qry_chars[q_cur - 1: q_cur + ind_len])
-            collector.add_raw(chr_idx, r_cur - 1, frag2[:1], frag2, TYPE_INS)
-        elif typ == TYPE_DEL:
-            frag1 = bytes(ref_chars[r_cur - 1: r_cur + ind_len])
-            collector.add_raw(chr_idx, r_cur - 1, frag1, frag1[:1], TYPE_DEL)
-        else:
-            collector.add_raw(chr_idx, r_cur, bytes(a1[i:i + 1]),
-                              bytes(a2[i:i + 1]), TYPE_SNV)
+        i = int(i)
+        events.append((pair_idx, i, TYPE_SNV, int(r_at[i]),
+                       bytes(a1[i:i + 1]), bytes(a2[i:i + 1])))
 
 
 def write_vcf(path: str, collector: VariantCollector, names: List[str],
@@ -179,7 +239,6 @@ def write_vcf(path: str, collector: VariantCollector, names: List[str],
               version_str: str = "1.0.22") -> None:
     """OutputSequenceVariants (src/SeqVariant.cpp:121-143)."""
     mut_type = {TYPE_SNV: "SUBSTITUTE", TYPE_INS: "INSERT", TYPE_DEL: "DELETE"}
-    variants = sorted(collector.variants, key=lambda v: (v.chr_idx, v.pos))
     with open(path, "w") as fh:
         fh.write("##fileformat=VCFv4.1\n")
         fh.write(f"##reference={reference_name}\n")
@@ -189,8 +248,7 @@ def write_vcf(path: str, collector: VariantCollector, names: List[str],
         for i, name in enumerate(names):
             fh.write(f"##contig=<ID={name},length={int(lengths[i])}>\n")
         fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
-        for v in variants:
-            fh.write(f"{names[v.chr_idx]}\t{v.pos}\t.\t"
-                     f"{v.ref_frag.decode('ascii')}\t"
-                     f"{v.alt_frag.decode('ascii')}\t100\t*\t"
-                     f"TYPE={mut_type[v.type]}\n")
+        for chr_idx, pos, rf, af, typ, _ in collector.variants:
+            fh.write(f"{names[chr_idx]}\t{pos}\t.\t"
+                     f"{rf.decode('ascii')}\t{af.decode('ascii')}\t100\t*\t"
+                     f"TYPE={mut_type[typ]}\n")
