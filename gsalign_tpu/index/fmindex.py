@@ -86,10 +86,8 @@ def build_fmindex(genome: Genome, sa_intv: int = 8,
 
     # occ checkpoints: exclusive cumulative per-char counts at block starts
     n_blocks = -(-n // OCC_INTERVAL)
-    padded = np.full(n_blocks * OCC_INTERVAL, 255, dtype=np.uint8)
-    padded[:n] = bcodes
-    block_view = padded.reshape(n_blocks, OCC_INTERVAL)
-    per_block = np.stack([(block_view == c).sum(axis=1) for c in range(4)], axis=1)
+    ids = (np.arange(n, dtype=np.int64) >> 7) * 4 + bcodes
+    per_block = np.bincount(ids, minlength=n_blocks * 4).reshape(n_blocks, 4)
     occ_cp = np.zeros((n_blocks, 4), dtype=np.int64)
     occ_cp[1:] = np.cumsum(per_block, axis=0)[:-1]
     cp_dtype = np.int32 if n < (1 << 31) else np.int64
@@ -146,14 +144,14 @@ def _build_pair_index(text: np.ndarray, sa_full: np.ndarray):
 
     # per-block class checkpoints + 4-bit packed symbols (MSB-first in word)
     n_pblocks = rows // PAIR_BLOCK + 1
-    padded = np.full(n_pblocks * PAIR_BLOCK, 255, dtype=np.uint8)
-    padded[:rows] = pbwt
-    block_view = padded.reshape(n_pblocks, PAIR_BLOCK)
-    per_block = np.stack([(block_view == c).sum(axis=1) for c in range(16)],
-                         axis=1)
+    ids = (np.arange(rows, dtype=np.int64) >> 6) * 16 + pbwt
+    per_block = np.bincount(ids, minlength=n_pblocks * 16).reshape(
+        n_pblocks, 16)
     pair_cp = np.zeros((n_pblocks, 16), dtype=np.int64)
     pair_cp[1:] = np.cumsum(per_block, axis=0)[:-1]
     pair_cp = pair_cp.astype(np.int32)
+    padded = np.zeros(n_pblocks * PAIR_BLOCK, dtype=np.uint8)
+    padded[:rows] = pbwt
 
     syms = padded.astype(np.uint32).reshape(-1, 8)
     shifts = ((7 - np.arange(8)) * 4).astype(np.uint32)

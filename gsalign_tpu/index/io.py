@@ -32,7 +32,7 @@ def save_index(fm: FMIndex, prefix: str) -> None:
     }
     with open(prefix + ".json", "w") as fh:
         json.dump(manifest, fh)
-    np.savez_compressed(
+    np.savez(
         prefix + ".npz",
         l2=fm.l2, bwt_packed=fm.bwt_packed, occ_cp=fm.occ_cp,
         sa_samples=fm.sa_samples, codes_fwd=g.codes_fwd,
