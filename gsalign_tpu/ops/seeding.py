@@ -50,9 +50,9 @@ def _seed_scan(dfm: DeviceFMIndex,
     i32 = jnp.int32
     qcodes = qcodes.astype(i32)
     Lpad = qcodes.shape[0]
-
-    def code_at(pos):
-        return qcodes[jnp.clip(pos, 0, Lpad - 1)]
+    # pack (code[i], code[i+1]) into one value: a single gather yields both
+    # upcoming bases (codes are 0..4, so base 8 packing)
+    qpairs = qcodes * 8 + jnp.concatenate([qcodes[1:], jnp.full(1, 4, i32)])
 
     init_state = dict(
         phase=jnp.zeros(B, i32),
@@ -80,16 +80,20 @@ def _seed_scan(dfm: DeviceFMIndex,
         in_init = (phase == PHASE_INIT) & (cursor < emit_stops)
         in_ext = phase == PHASE_EXT
 
+        # one shared gather: INIT lanes look at `cursor`, EXT at `ext_pos`
+        look = jnp.where(in_ext, ext_pos, cursor)
+        pk = qpairs[jnp.clip(look, 0, Lpad - 1)]
+
         # ---- INIT step ----
-        c0 = code_at(cursor)
+        c0 = pk // 8
         init_amb = c0 > 3
         c0c = jnp.clip(c0, 0, 3)
         n_ik1 = dfm.l2[3 - c0c] + 1
         n_ik2 = dfm.l2[c0c + 1] - dfm.l2[c0c]
 
         # ---- EXT step: pair (2 bases) when possible, else single ----
-        b1 = code_at(ext_pos)
-        b2 = code_at(ext_pos + 1)
+        b1 = c0
+        b2 = pk % 8
         b1c = jnp.clip(b1, 0, 3)
         b2c = jnp.clip(b2, 0, 3)
         can_pair = ((ext_pos + 1 < ext_stops) & (b1 <= 3) & (b2 <= 3)
@@ -126,14 +130,20 @@ def _seed_scan(dfm: DeviceFMIndex,
             (0 if sensitive else 1) * (length + 1),
             ext_start + 1)
 
-        # emit into per-lane buffers (one packed scatter)
+        # emit into per-lane buffers; most iterations emit nothing, so the
+        # scatter runs under a cond on "any hit this step"
         slot = jnp.minimum(s["out_n"], max_out - 1)
         do_emit = is_hit & (s["out_n"] < max_out)
-        rows = jnp.arange(B)
         record = jnp.stack([ext_start, length, ik1, freq], axis=1)  # [B,4]
-        old = s["out"][rows, slot]
-        out = s["out"].at[rows, slot].set(
-            jnp.where(do_emit[:, None], record, old))
+
+        def do_scatter(buf):
+            rows = jnp.arange(B)
+            old = buf[rows, slot]
+            return buf.at[rows, slot].set(
+                jnp.where(do_emit[:, None], record, old))
+
+        out = jax.lax.cond(jnp.any(do_emit), do_scatter, lambda b: b,
+                           s["out"])
         out_n = s["out_n"] + do_emit.astype(i32)
 
         # ---- state updates ----
