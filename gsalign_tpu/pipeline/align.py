@@ -14,11 +14,10 @@ import sys
 import time
 from typing import List, Optional
 
-import numpy as np
 
 from gsalign_tpu.config import AlignConfig
 from gsalign_tpu.genome.coords import ChrLocIndex, gen_coordinate_info
-from gsalign_tpu.genome.packing import Genome, chars_to_codes
+from gsalign_tpu.genome.packing import chars_to_codes
 from gsalign_tpu.index.fmindex import FMIndex
 from gsalign_tpu.ops.rank import DeviceFMIndex
 from gsalign_tpu.ops.seeding import find_seeds_all
