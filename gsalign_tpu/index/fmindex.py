@@ -65,13 +65,19 @@ def pack_bwt_codes(bcodes: np.ndarray) -> np.ndarray:
     return np.bitwise_or.reduce(lanes << shifts, axis=1).astype(np.uint32)
 
 
-def build_fmindex(genome: Genome, sa_intv: int = 8,
+def build_fmindex(genome: Genome, sa_intv: Optional[int] = None,
                   prefer_device: bool = True,
                   sa_full: Optional[np.ndarray] = None) -> FMIndex:
-    """Build the FM-index over the genome's fwd+RC text."""
-    assert sa_intv & (sa_intv - 1) == 0, "sa_intv must be a power of two"
+    """Build the FM-index over the genome's fwd+RC text.
+
+    sa_intv None picks automatically: the FULL suffix array (interval 1 —
+    occurrence resolution becomes a single gather, no LF walks) while it
+    fits a ~1.2GB budget, else every-8th sampling."""
     text = genome.codes_fwd_rc()
     n = int(text.shape[0])
+    if sa_intv is None:
+        sa_intv = 1 if n <= 300_000_000 else 8
+    assert sa_intv & (sa_intv - 1) == 0, "sa_intv must be a power of two"
     if sa_full is None:
         sa_full = build_suffix_array(text, prefer_device=prefer_device)
     assert sa_full.shape[0] == n + 1 and sa_full[0] == n

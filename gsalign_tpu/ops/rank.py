@@ -266,7 +266,10 @@ def inv_psi(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
 @partial(jax.jit, static_argnums=())
 def resolve_sa(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     """Batched bwt_sa (src/bwt_search.cpp:129-139): LF-walk each rank to the
-    nearest sampled one, then add the stored SA value (mod seq_len+1)."""
+    nearest sampled one, then add the stored SA value (mod seq_len+1).
+    With a full SA (sa_intv == 1) this is a single gather."""
+    if dfm.sa_intv == 1:
+        return dfm.sa_samples[k]
     mask = jnp.int32(dfm.sa_intv - 1)
     log2_intv = int(np.log2(dfm.sa_intv))
 
