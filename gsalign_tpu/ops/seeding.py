@@ -130,20 +130,15 @@ def _seed_scan(dfm: DeviceFMIndex,
             (0 if sensitive else 1) * (length + 1),
             ext_start + 1)
 
-        # emit into per-lane buffers; most iterations emit nothing, so the
-        # scatter runs under a cond on "any hit this step"
+        # emit into per-lane buffers (one packed scatter; with hundreds of
+        # lanes some lane emits nearly every iteration, so no cond guard)
         slot = jnp.minimum(s["out_n"], max_out - 1)
         do_emit = is_hit & (s["out_n"] < max_out)
         record = jnp.stack([ext_start, length, ik1, freq], axis=1)  # [B,4]
-
-        def do_scatter(buf):
-            rows = jnp.arange(B)
-            old = buf[rows, slot]
-            return buf.at[rows, slot].set(
-                jnp.where(do_emit[:, None], record, old))
-
-        out = jax.lax.cond(jnp.any(do_emit), do_scatter, lambda b: b,
-                           s["out"])
+        rows = jnp.arange(B)
+        old = s["out"][rows, slot]
+        out = s["out"].at[rows, slot].set(
+            jnp.where(do_emit[:, None], record, old))
         out_n = s["out_n"] + do_emit.astype(i32)
 
         # ---- state updates ----
