@@ -27,6 +27,7 @@ from gsalign_tpu.pipeline.generate import generate_alignments
 from gsalign_tpu.pipeline.output import write_aln, write_dotplot, write_maf
 from gsalign_tpu.pipeline.variants import (VariantCollector,
                                            identify_variants, write_vcf)
+from gsalign_tpu.utils.trace import StageTimer, device_trace
 
 
 @dataclasses.dataclass
@@ -35,6 +36,7 @@ class RunStats:
     total_alignment_length: int = 0
     total_alignment_matches: int = 0
     dup_aln_num: int = 0
+    stage_times: dict = dataclasses.field(default_factory=dict)
 
     @property
     def ani(self) -> float:
@@ -73,6 +75,7 @@ def compare_genomes(fm: FMIndex,
     ref_chars = genome.chars_fwd_rc()
     dfm = DeviceFMIndex.from_host(fm)
     stats = RunStats()
+    timer = StageTimer()
     collector = VariantCollector()
     results: List[ChromosomeResult] = []
     t0 = time.time()
@@ -84,63 +87,67 @@ def compare_genomes(fm: FMIndex,
     # S1: seeding — every chromosome's chunk lanes in ONE device scan
     # (the reference seeds per chromosome with thread chunks,
     # src/GSAlign.cpp:483-493; lane stops make the results identical)
-    all_seeds = find_seeds_all(
-        dfm, [chars_to_codes(q) for _, q in query_records],
-        min_seed_length=cfg.min_seed_length,
-        max_seed_freq=cfg.max_seed_freq,
-        sensitive=cfg.sensitive,
-        chunk=cfg.seed_exploration_chunk)
+    with device_trace(), timer.stage("seed"):
+        all_seeds = find_seeds_all(
+            dfm, [chars_to_codes(q) for _, q in query_records],
+            min_seed_length=cfg.min_seed_length,
+            max_seed_freq=cfg.max_seed_freq,
+            sensitive=cfg.sensitive,
+            chunk=cfg.seed_exploration_chunk)
 
     first_out = True
     for qc_idx, (qname, qry_chars) in enumerate(query_records):
         log(f"\tProcess query chromosome: {qname}...", verbose)
         q_pos, r_pos, length = all_seeds[qc_idx]
 
-        # S2+S3: grouping + chaining
-        blocks = chain.generate_alignment_blocks(
-            q_pos, r_pos, length, cfg, genome.size)
+        with timer.stage("chain"):
+            # S2+S3: grouping + chaining
+            blocks = chain.generate_alignment_blocks(
+                q_pos, r_pos, length, cfg, genome.size)
 
-        # S4: overlap repair
-        for b in blocks:
-            blk_ops.remove_overlaps(b)
+            # S4: overlap repair
+            for b in blocks:
+                blk_ops.remove_overlaps(b)
 
-        # S5: gap splitting
-        new_blocks = []
-        for b in blocks:
-            subs = blk_ops.check_gaps_between_seeds(b, qry_chars, ref_chars,
-                                                    cfg)
-            if subs is None:
-                new_blocks.append(b)
-            else:
-                new_blocks.extend(subs)
-        blocks = blk_ops.remove_bad_blocks(new_blocks)
+            # S5: gap splitting
+            new_blocks = []
+            for b in blocks:
+                subs = blk_ops.check_gaps_between_seeds(b, qry_chars,
+                                                        ref_chars, cfg)
+                if subs is None:
+                    new_blocks.append(b)
+                else:
+                    new_blocks.extend(subs)
+            blocks = blk_ops.remove_bad_blocks(new_blocks)
 
-        # S6: chromosome-span splitting
-        new_blocks = []
-        for b in blocks:
-            subs = blk_ops.check_span_multiple_chrs(b, chr_index, cfg)
-            if subs is None:
-                new_blocks.append(b)
-            else:
-                new_blocks.extend(subs)
-        blocks = blk_ops.remove_bad_blocks(new_blocks)
+            # S6: chromosome-span splitting
+            new_blocks = []
+            for b in blocks:
+                subs = blk_ops.check_span_multiple_chrs(b, chr_index, cfg)
+                if subs is None:
+                    new_blocks.append(b)
+                else:
+                    new_blocks.extend(subs)
+            blocks = blk_ops.remove_bad_blocks(new_blocks)
 
-        # S7: dedup
-        for b in blocks:
-            b.b_dup = False
-        chr_scores = blk_ops.est_chromosome_similarity(blocks, chr_index)
-        blocks = blk_ops.remove_redundant_blocks(blocks, chr_scores,
-                                                 chr_index, cfg, axis=1)
-        blocks = blk_ops.remove_redundant_blocks(blocks, chr_scores,
-                                                 chr_index, cfg, axis=2)
+            # S7: dedup
+            for b in blocks:
+                b.b_dup = False
+            chr_scores = blk_ops.est_chromosome_similarity(blocks, chr_index)
+            blocks = blk_ops.remove_redundant_blocks(blocks, chr_scores,
+                                                     chr_index, cfg, axis=1)
+            blocks = blk_ops.remove_redundant_blocks(blocks, chr_scores,
+                                                     chr_index, cfg, axis=2)
 
-        # S8: gap fill
-        for b in blocks:
-            if b.score > 0:
-                blk_ops.fill_block_gaps(b)
+            # S8: gap fill
+            for b in blocks:
+                if b.score > 0:
+                    blk_ops.fill_block_gaps(b)
 
         # S9: alignment generation (device DP)
-        generate_alignments(blocks, qry_chars, ref_chars, cfg, dp_fn=dp_fn)
+        with device_trace(), timer.stage("align"):
+            generate_alignments(blocks, qry_chars, ref_chars, cfg,
+                                dp_fn=dp_fn)
 
         # identity filter + stats (src/GSAlign.cpp:528-541)
         n = 0
@@ -169,16 +176,18 @@ def compare_genomes(fm: FMIndex,
         # output (NB: the writers clip blocks in place, so they run before
         # variant identification, same as the reference ordering)
         if output_prefix:
-            if cfg.output_format == 1:
-                write_maf(maf_path, blocks, qname, qry_chars, chr_index,
-                          first_out, cfg.allow_duplication)
-            elif cfg.output_format == 2:
-                write_aln(aln_path, blocks, qname, qry_chars, chr_index,
-                          first_out, cfg.allow_duplication)
+            with timer.stage("output"):
+                if cfg.output_format == 1:
+                    write_maf(maf_path, blocks, qname, qry_chars, chr_index,
+                              first_out, cfg.allow_duplication)
+                elif cfg.output_format == 2:
+                    write_aln(aln_path, blocks, qname, qry_chars, chr_index,
+                              first_out, cfg.allow_duplication)
             first_out = False
         if cfg.emit_vcf:
-            identify_variants(blocks, qry_chars, ref_chars, chr_index,
-                              collector)
+            with timer.stage("variants"):
+                identify_variants(blocks, qry_chars, ref_chars, chr_index,
+                                  collector)
         if cfg.show_plot and output_prefix:
             write_dotplot(output_prefix, qname, blocks, chr_index)
 
@@ -190,6 +199,8 @@ def compare_genomes(fm: FMIndex,
             f"(total alignment length={stats.total_alignment_length}) "
             f"ANI={stats.ani:.2f}%, unique alignment#="
             f"{stats.local_alignment_num - stats.dup_aln_num}", verbose)
+    stats.stage_times = dict(timer.totals)
+    log(f"\t[stages] {timer.report()}", verbose)
     log(f"\tIt took {int(time.time() - t0)} seconds for genome sequence "
         f"alignment.", verbose)
 
