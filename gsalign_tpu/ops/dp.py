@@ -195,6 +195,8 @@ def align_fragments(ref_frags, qry_frags, bucket_sizes=(64, 128, 256, 512,
         else:
             buckets.setdefault(int(np.ceil(m / 1024) * 1024), []).append(i)
 
+    # dispatch every bucket batch before fetching any result (async queue)
+    pending = []
     for Lb, idxs in sorted(buckets.items()):
         max_batch = max(1, batch_cells // (Lb * Lb))
         for s in range(0, len(idxs), max_batch):
@@ -213,12 +215,15 @@ def align_fragments(ref_frags, qry_frags, bucket_sizes=(64, 128, 256, 512,
                 t[bi, :len(qf)] = qf
                 ql[bi] = len(rf)
                 tl[bi] = len(qf)
-            ops = np.asarray(dp_fn(jnp.asarray(q), jnp.asarray(t),
-                                   jnp.asarray(ql), jnp.asarray(tl), Lb))
-            for bi, i in enumerate(part):
-                o = ops[bi]
-                o = o[o != OP_PAD][::-1]   # forward order
-                results[i] = o
+            pending.append((part, dp_fn(jnp.asarray(q), jnp.asarray(t),
+                                        jnp.asarray(ql), jnp.asarray(tl),
+                                        Lb)))
+    for part, dev_ops in pending:
+        ops = np.asarray(dev_ops)
+        for bi, i in enumerate(part):
+            o = ops[bi]
+            o = o[o != OP_PAD][::-1]   # forward order
+            results[i] = o
     return results
 
 
