@@ -25,9 +25,10 @@ def _sorted(seeds):
     return sorted(seeds)
 
 
-@pytest.mark.parametrize("seed,chunk,sensitive", [
-    (1, 500, False), (2, 300, False), (3, 500, True)])
-def test_seeding_matches_naive(seed, chunk, sensitive):
+@pytest.mark.parametrize("seed,chunk,sensitive,n_segments", [
+    (1, 500, False, 1), (2, 300, False, 1), (3, 500, True, 1),
+    (4, 500, False, 8), (5, 400, True, 4), (6, 512, False, 16)])
+def test_seeding_matches_naive(seed, chunk, sensitive, n_segments):
     rng = np.random.default_rng(seed)
     ref = random_genome(rng, 2000)
     fm = make_fm(ref)
@@ -38,7 +39,7 @@ def test_seeding_matches_naive(seed, chunk, sensitive):
 
     q_pos, r_pos, length = find_seeds(
         dfm, qry, min_seed_length=12, max_seed_freq=100,
-        sensitive=sensitive, chunk=chunk)
+        sensitive=sensitive, chunk=chunk, n_segments=n_segments)
     got = _sorted(zip(q_pos.tolist(), r_pos.tolist(), length.tolist()))
 
     text = fm.genome.codes_fwd_rc()
