@@ -83,8 +83,21 @@ def build_fmindex(genome: Genome, sa_intv: Optional[int] = None,
     assert sa_full.shape[0] == n + 1 and sa_full[0] == n
 
     primary = int(np.nonzero(sa_full == 0)[0][0])
+    # ONE random gather serves BWT extraction, the pair BWT, and the C16
+    # keys: pack (text[i-2], text[i-1], text[i], text[i+1]) per position
+    # (3 bits each; out-of-range -> 0 on the left, 4 on the right).
+    ctx = np.zeros(n + 1, dtype=np.uint16)
+    t16 = text.astype(np.uint16)
+    ctx[2:] |= t16[:n - 1] << 9          # prev2
+    ctx[1:] |= t16 << 6                  # prev1
+    ctx[:n] |= t16 << 3                  # cur   (position n: cur = 4 = $)
+    ctx[n] |= 4 << 3
+    ctx[:n - 1] |= t16[1:]               # next
+    ctx[n - 1:] |= 4
+    g_ctx = ctx[sa_full]                 # [n+1] — the only big gather
+
     mask = sa_full > 0
-    bcodes = text[sa_full[mask] - 1]          # $-removed BWT, n entries
+    bcodes = ((g_ctx >> 6) & 7)[mask].astype(np.uint8)   # $-removed BWT
 
     counts = np.bincount(text, minlength=4)[:4]
     l2 = np.zeros(5, dtype=np.int64)
@@ -109,7 +122,7 @@ def build_fmindex(genome: Genome, sa_intv: Optional[int] = None,
     sa_dtype = np.int32 if n < (1 << 31) else np.int64
     sa_samples = sa_full[::sa_intv].astype(sa_dtype)
 
-    pbwt_packed, pair_cp, c16, pair_exc = _build_pair_index(text, sa_full)
+    pbwt_packed, pair_cp, c16, pair_exc = _build_pair_index(sa_full, g_ctx, n)
 
     return FMIndex(
         seq_len=n, primary=primary, l2=l2, bwt_packed=bwt_packed,
@@ -118,30 +131,38 @@ def build_fmindex(genome: Genome, sa_intv: Optional[int] = None,
     )
 
 
-def _build_pair_index(text: np.ndarray, sa_full: np.ndarray):
+def _build_pair_index(sa_full: np.ndarray, g_ctx: np.ndarray, n: int):
     """Alphabet-16 BWT over all SA_full rows: PBWT[i] = the pair of bases
     preceding suffix SA[i] (4*T[SA-2]+T[SA-1]); rows with SA < 2 are
     exceptions (no 2-base left context, stored as 0 and subtracted from
     class-0 ranks at query time). One backward step with a pair symbol
-    consumes two query bases — half the rank queries of the seeding scan."""
-    n = int(text.shape[0])
+    consumes two query bases — half the rank queries of the seeding scan.
+
+    g_ctx is the pre-gathered packed context per SA row (see build_fmindex).
+    """
     rows = n + 1
-    pbwt = np.zeros(rows, dtype=np.uint8)
-    has_ctx = sa_full >= 2
-    idx = sa_full[has_ctx]
-    pbwt[has_ctx] = text[idx - 2] * 4 + text[idx - 1]
-    pair_exc = np.nonzero(~has_ctx)[0].astype(np.int32)
+    # narrow dtypes throughout: this host is memory-bandwidth-bound, and
+    # int64 temporaries over 2N-length arrays dominate build time otherwise.
+    pair_all = ((g_ctx >> 6) & np.uint16(0x3F)).astype(np.uint8)
+    # bits: prev2 at 9..11, prev1 at 6..8 -> symbol = prev2*4 + prev1:
+    pbwt = ((pair_all >> 3) << 2) | (pair_all & 7)
+    small = np.nonzero(sa_full < 2)[0]          # exceptions: SA in {0, 1}
+    pair_exc = small.astype(np.int32)
     assert pair_exc.shape[0] == 2
+    pbwt[small] = 0
 
     # C16[c]: rows sorting strictly below the suffix block with first pair c.
     # key coarsens suffix order to 2-char granularity (short suffixes get
-    # keys that slot them below the full pairs sharing their first char).
-    keys = np.full(rows, -1, dtype=np.int64)
-    m_full = sa_full <= n - 2
-    j = sa_full[m_full]
-    keys[m_full] = text[j] * 8 + text[np.minimum(j + 1, n - 1)] * 2 + 1
-    m_one = sa_full == n - 1
-    keys[m_one] = text[sa_full[m_one]] * 8
+    # keys that slot them below the full pairs sharing their first char;
+    # cur == 4 marks the $ row, nxt == 4 a length-1 suffix). Encoded so the
+    # key order matches: key = cur*8 + nxt*2 + 1, with nxt==4 -> cur*8 and
+    # cur==4 ($ row) -> 0 (sorts first; all real keys are >= 1).
+    cn = (g_ctx & np.uint16(0x3F)).astype(np.uint8)   # cur at 3..5, nxt at 0..2
+    cur8 = cn >> 3
+    nxt8 = cn & 7
+    keys = np.where(cur8 == 4, 0,
+                    np.where(nxt8 == 4, cur8 << 3,
+                             (cur8 << 3) + (nxt8 << 1) + 1)).astype(np.uint8)
     c16 = np.empty(17, dtype=np.int64)
     for c in range(16):
         a, b = c >> 2, c & 3

@@ -76,7 +76,7 @@ def sais(text_with_sentinel: np.ndarray) -> Optional[np.ndarray]:
         rc = lib.sais_u8_i32(t, n, sa)
         if rc != 0:
             raise RuntimeError(f"sais_u8_i32 failed: {rc}")
-        return sa.astype(np.int64)
+        return sa
     sa = np.empty(n, dtype=np.int64)
     rc = lib.sais_u8_i64(t, n, sa)
     if rc != 0:
