@@ -67,7 +67,7 @@ def main():
     assert stats.local_alignment_num > 0
 
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         stats, collector, _ = compare_genomes(fm, qry_records, cfg,
                                               output_prefix=out, verbose=False)
