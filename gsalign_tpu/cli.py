@@ -147,8 +147,18 @@ def main(argv=None) -> int:
           f"{'chromosomes' if len(query_records) > 1 else 'chromosome'})",
           file=sys.stderr)
 
+    fm = None
     if index_prefix is not None and index_exists(index_prefix):
-        fm = load_index(index_prefix)
+        try:
+            fm = load_index(index_prefix)
+        except (ValueError, KeyError) as e:
+            print(f"Index at {index_prefix} is unreadable ({e}); "
+                  f"{'rebuilding from -r' if ref_file else 'aborting'}",
+                  file=sys.stderr)
+            if ref_file is None:
+                return 1
+    if fm is not None:
+        pass
     elif ref_file is not None:
         prefix = os.path.splitext(ref_file)[0] or ref_file
         records = read_fasta(ref_file)
