@@ -27,6 +27,12 @@ import jax as _jax
 # prefix-doubling sort uses int64 composite keys; 64-bit must be on globally.
 _jax.config.update("jax_enable_x64", True)
 
+# The axon TPU plugin overrides JAX_PLATFORMS from the environment;
+# GSALIGN_PLATFORM gives callers (tests, CPU-only runs) a reliable override.
+_plat = _os.environ.get("GSALIGN_PLATFORM")
+if _plat:
+    _jax.config.update("jax_platforms", _plat)
+
 # Remote-TPU compiles are expensive; persist them across processes.
 _cache_dir = _os.environ.get("GSALIGN_JIT_CACHE",
                              _os.path.expanduser("~/.cache/gsalign_tpu_jit"))
