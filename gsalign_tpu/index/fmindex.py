@@ -29,7 +29,7 @@ OCC_INTERVAL = 128          # bases per checkpoint block
 WORDS_PER_BLOCK = OCC_INTERVAL // 16
 
 
-PAIR_BLOCK = 64                 # pair-symbols per pair checkpoint block
+T3_BLOCK = 128              # order-3 symbols per T3 checkpoint block
 
 
 @dataclasses.dataclass
@@ -42,12 +42,17 @@ class FMIndex:
     sa_samples: np.ndarray       # int32/int64 [ceil((seq_len+1)/intv)]
     sa_intv: int
     genome: Optional[Genome] = None
-    # pair-symbol (alphabet-16) structures over ALL SA_full rows (no $-row
-    # removal, no primary shift): two query-genome bases per rank query.
-    pbwt_packed: Optional[np.ndarray] = None   # uint32 [n_pblocks*8], 4b/sym
-    pair_cp: Optional[np.ndarray] = None       # int32 [n_pblocks, 16]
-    c16: Optional[np.ndarray] = None           # int64 [17]
-    pair_exc: Optional[np.ndarray] = None      # int32 [2] ranks with SA < 2
+    # order-3 (alphabet-64) BWT over ALL SA_full rows (no $-row removal, no
+    # primary shift): T3[i] = the THREE bases preceding suffix SA[i]
+    # (T[SA-3]*16 + T[SA-2]*4 + T[SA-1]). One rank query consumes three
+    # query-genome bases; a fused row (64 class checkpoints + 128 packed
+    # syms, 384 B) answers it with a single gather. Rows with SA < 3 are
+    # exceptions (stored as 0; corrected at query time via t3_exc_*).
+    t3_packed: Optional[np.ndarray] = None     # uint32 [n3_blocks*32], 8b/sym
+    t3_cp: Optional[np.ndarray] = None         # int32 [n3_blocks, 64]
+    c64: Optional[np.ndarray] = None           # int64 [65]
+    t3_exc_pos: Optional[np.ndarray] = None    # int32 [3] ranks with SA < 3
+    t3_exc_chr: Optional[np.ndarray] = None    # int32 [3] true prev char|-1
 
     @property
     def rank_dtype(self):
@@ -83,21 +88,24 @@ def build_fmindex(genome: Genome, sa_intv: Optional[int] = None,
     assert sa_full.shape[0] == n + 1 and sa_full[0] == n
 
     primary = int(np.nonzero(sa_full == 0)[0][0])
-    # ONE random gather serves BWT extraction, the pair BWT, and the C16
-    # keys: pack (text[i-2], text[i-1], text[i], text[i+1]) per position
-    # (3 bits each; out-of-range -> 0 on the left, 4 on the right).
-    ctx = np.zeros(n + 1, dtype=np.uint16)
-    t16 = text.astype(np.uint16)
-    ctx[2:] |= t16[:n - 1] << 9          # prev2
-    ctx[1:] |= t16 << 6                  # prev1
-    ctx[:n] |= t16 << 3                  # cur   (position n: cur = 4 = $)
-    ctx[n] |= 4 << 3
-    ctx[:n - 1] |= t16[1:]               # next
-    ctx[n - 1:] |= 4
+    # ONE random gather serves BWT extraction, the order-3 BWT, and the C64
+    # keys: pack (text[i-3..i-1], text[i..i+2]) per position (3 bits each;
+    # out-of-range -> 0 on the left, 4 on the right).
+    ctx = np.zeros(n + 1, dtype=np.uint32)
+    t32 = text.astype(np.uint32)
+    ctx[3:] |= t32[:n - 2] << 15         # prev3
+    ctx[2:] |= t32[:n - 1] << 12         # prev2
+    ctx[1:] |= t32 << 9                  # prev1
+    ctx[:n] |= t32 << 6                  # cur   (position n: cur = 4 = $)
+    ctx[n] |= 4 << 6
+    ctx[:n - 1] |= t32[1:] << 3          # nxt1
+    ctx[n - 1:] |= 4 << 3
+    ctx[:n - 2] |= t32[2:]               # nxt2
+    ctx[n - 2:] |= 4
     g_ctx = ctx[sa_full]                 # [n+1] — the only big gather
 
     mask = sa_full > 0
-    bcodes = ((g_ctx >> 6) & 7)[mask].astype(np.uint8)   # $-removed BWT
+    bcodes = ((g_ctx >> 9) & 7)[mask].astype(np.uint8)   # $-removed BWT
 
     counts = np.bincount(text, minlength=4)[:4]
     l2 = np.zeros(5, dtype=np.int64)
@@ -122,69 +130,76 @@ def build_fmindex(genome: Genome, sa_intv: Optional[int] = None,
     sa_dtype = np.int32 if n < (1 << 31) else np.int64
     sa_samples = sa_full[::sa_intv].astype(sa_dtype)
 
-    pbwt_packed, pair_cp, c16, pair_exc = _build_pair_index(sa_full, g_ctx, n)
+    t3_packed, t3_cp, c64, t3_exc_pos, t3_exc_chr = _build_t3_index(
+        sa_full, g_ctx, text, n)
 
     return FMIndex(
         seq_len=n, primary=primary, l2=l2, bwt_packed=bwt_packed,
         occ_cp=occ_cp, sa_samples=sa_samples, sa_intv=sa_intv, genome=genome,
-        pbwt_packed=pbwt_packed, pair_cp=pair_cp, c16=c16, pair_exc=pair_exc,
+        t3_packed=t3_packed, t3_cp=t3_cp, c64=c64,
+        t3_exc_pos=t3_exc_pos, t3_exc_chr=t3_exc_chr,
     )
 
 
-def _build_pair_index(sa_full: np.ndarray, g_ctx: np.ndarray, n: int):
-    """Alphabet-16 BWT over all SA_full rows: PBWT[i] = the pair of bases
-    preceding suffix SA[i] (4*T[SA-2]+T[SA-1]); rows with SA < 2 are
-    exceptions (no 2-base left context, stored as 0 and subtracted from
-    class-0 ranks at query time). One backward step with a pair symbol
-    consumes two query bases — half the rank queries of the seeding scan.
+def _build_t3_index(sa_full: np.ndarray, g_ctx: np.ndarray,
+                    text: np.ndarray, n: int):
+    """Order-3 (alphabet-64) BWT over all SA_full rows: T3[i] = the three
+    bases preceding suffix SA[i] as T[SA-3]*16 + T[SA-2]*4 + T[SA-1]. Rows
+    with SA < 3 lack a full 3-base left context: stored as 0 and corrected
+    at query time (class-0 subtraction for triple ranks; the true single
+    preceding char, kept in t3_exc_chr, re-added for single-char ranks).
+    One backward step with a triple symbol consumes three query bases — a
+    third of the rank queries of the seeding scan vs single-char stepping.
 
     g_ctx is the pre-gathered packed context per SA row (see build_fmindex).
     """
     rows = n + 1
     # narrow dtypes throughout: this host is memory-bandwidth-bound, and
     # int64 temporaries over 2N-length arrays dominate build time otherwise.
-    pair_all = ((g_ctx >> 6) & np.uint16(0x3F)).astype(np.uint8)
-    # bits: prev2 at 9..11, prev1 at 6..8 -> symbol = prev2*4 + prev1:
-    pbwt = ((pair_all >> 3) << 2) | (pair_all & 7)
-    small = np.nonzero(sa_full < 2)[0]          # exceptions: SA in {0, 1}
-    pair_exc = small.astype(np.int32)
-    assert pair_exc.shape[0] == 2
-    pbwt[small] = 0
+    t3 = (((g_ctx >> 15) & np.uint32(7)) * 16
+          + ((g_ctx >> 12) & np.uint32(7)) * 4
+          + ((g_ctx >> 9) & np.uint32(7))).astype(np.uint8)
+    small = np.nonzero(sa_full < 3)[0]          # exceptions: SA in {0, 1, 2}
+    t3_exc_pos = small.astype(np.int32)
+    assert t3_exc_pos.shape[0] == 3
+    sa_small = sa_full[small]
+    t3_exc_chr = np.where(sa_small == 0, -1,
+                          text[np.maximum(sa_small, 1) - 1]).astype(np.int32)
+    t3[small] = 0
 
-    # C16[c]: rows sorting strictly below the suffix block with first pair c.
-    # key coarsens suffix order to 2-char granularity (short suffixes get
-    # keys that slot them below the full pairs sharing their first char;
-    # cur == 4 marks the $ row, nxt == 4 a length-1 suffix). Encoded so the
-    # key order matches: key = cur*8 + nxt*2 + 1, with nxt==4 -> cur*8 and
-    # cur==4 ($ row) -> 0 (sorts first; all real keys are >= 1).
-    cn = (g_ctx & np.uint16(0x3F)).astype(np.uint8)   # cur at 3..5, nxt at 0..2
-    cur8 = cn >> 3
-    nxt8 = cn & 7
-    keys = np.where(cur8 == 4, 0,
-                    np.where(nxt8 == 4, cur8 << 3,
-                             (cur8 << 3) + (nxt8 << 1) + 1)).astype(np.uint8)
-    c16 = np.empty(17, dtype=np.int64)
-    for c in range(16):
-        a, b = c >> 2, c & 3
-        c16[c] = np.searchsorted(keys, a * 8 + b * 2 + 1, side="left")
-    c16[16] = rows
+    # C64[c]: rows sorting strictly below the suffix block whose first three
+    # chars are c. The key coarsens suffix order to 3-char granularity with
+    # each char mapped to c+1 and a missing char (field == 4: the $ row or a
+    # short suffix) to 0 — $ sorts below every real char, so key order
+    # matches suffix order and a searchsorted per class recovers the block
+    # starts.
+    cur = (g_ctx >> 6) & np.uint32(7)
+    nx1 = (g_ctx >> 3) & np.uint32(7)
+    nx2 = g_ctx & np.uint32(7)
+    tc = lambda f: np.where(f == 4, 0, f + 1).astype(np.uint8)
+    keys = (tc(cur) * np.uint8(25) + tc(nx1) * np.uint8(5)
+            + tc(nx2)).astype(np.uint8)
+    cls = np.arange(64)
+    qkeys = ((cls >> 4) + 1) * 25 + (((cls >> 2) & 3) + 1) * 5 + (cls & 3) + 1
+    c64 = np.empty(65, dtype=np.int64)
+    c64[:64] = np.searchsorted(keys, qkeys.astype(np.uint8), side="left")
+    c64[64] = rows
 
-    # per-block class checkpoints + 4-bit packed symbols (MSB-first in word)
-    n_pblocks = rows // PAIR_BLOCK + 1
-    ids = (np.arange(rows, dtype=np.int64) >> 6) * 16 + pbwt
-    per_block = np.bincount(ids, minlength=n_pblocks * 16).reshape(
-        n_pblocks, 16)
-    pair_cp = np.zeros((n_pblocks, 16), dtype=np.int64)
-    pair_cp[1:] = np.cumsum(per_block, axis=0)[:-1]
-    pair_cp = pair_cp.astype(np.int32)
-    padded = np.zeros(n_pblocks * PAIR_BLOCK, dtype=np.uint8)
-    padded[:rows] = pbwt
+    # per-block class checkpoints + 8-bit packed symbols (MSB-first in word)
+    n3_blocks = rows // T3_BLOCK + 1
+    ids = (np.arange(rows, dtype=np.int64) >> 7) * 64 + t3
+    per_block = np.bincount(ids, minlength=n3_blocks * 64).reshape(
+        n3_blocks, 64)
+    t3_cp = np.zeros((n3_blocks, 64), dtype=np.int64)
+    t3_cp[1:] = np.cumsum(per_block, axis=0)[:-1]
+    t3_cp = t3_cp.astype(np.int32)
+    padded = np.zeros(n3_blocks * T3_BLOCK, dtype=np.uint8)
+    padded[:rows] = t3
 
-    syms = padded.astype(np.uint32).reshape(-1, 8)
-    shifts = ((7 - np.arange(8)) * 4).astype(np.uint32)
-    pbwt_packed = np.bitwise_or.reduce((syms & 0xF) << shifts, axis=1) \
-        .astype(np.uint32)
-    return pbwt_packed, pair_cp, c16, pair_exc
+    syms = padded.astype(np.uint32).reshape(-1, 4)
+    shifts = ((3 - np.arange(4)) * 8).astype(np.uint32)
+    t3_packed = np.bitwise_or.reduce(syms << shifts, axis=1).astype(np.uint32)
+    return t3_packed, t3_cp, c64, t3_exc_pos, t3_exc_chr
 
 
 # ---- host-side (numpy) reference queries, used by tests and small runs ----
@@ -233,27 +248,56 @@ def inv_psi_np(fm: FMIndex, k: int) -> int:
     return 0 if k == fm.primary else x
 
 
-def rank16_np(fm: FMIndex, c: int, k: int) -> int:
-    """# rows j in [0, k) with pair-symbol c (exceptions excluded)."""
-    block = k // PAIR_BLOCK
-    cnt = int(fm.pair_cp[block, c])
-    for j in range(block * PAIR_BLOCK, k):
-        w = int(fm.pbwt_packed[j >> 3])
-        sym = (w >> ((7 - (j & 7)) * 4)) & 0xF
-        if sym == c:
+def _t3_sym_np(fm: FMIndex, j: int) -> int:
+    w = int(fm.t3_packed[j >> 2])
+    return (w >> ((3 - (j & 3)) * 8)) & 0xFF
+
+
+def rank64_np(fm: FMIndex, c: int, k: int) -> int:
+    """# rows j in [0, k) with triple-symbol c (exceptions excluded)."""
+    block = k // T3_BLOCK
+    cnt = int(fm.t3_cp[block, c])
+    for j in range(block * T3_BLOCK, k):
+        if _t3_sym_np(fm, j) == c:
             cnt += 1
     if c == 0:
-        cnt -= int((fm.pair_exc < k).sum())
+        cnt -= int((fm.t3_exc_pos < k).sum())
     return cnt
 
 
-def extend_rc_pair_np(fm: FMIndex, ik1: int, ik2: int, b1: int, b2: int):
-    """Append bases (b1, b2) to P by backward-extending RC(P) with the pair
-    symbol (comp(b2), comp(b1)). Returns (new_ik1, new_ik2)."""
-    c = (3 - b2) * 4 + (3 - b1)
-    lo = rank16_np(fm, c, ik1)
-    hi = rank16_np(fm, c, ik1 + ik2)
-    return int(fm.c16[c]) + lo, hi - lo
+def rank1_t3_np(fm: FMIndex, c: int, k: int) -> int:
+    """# rows j in [0, k) whose true preceding char is c, via the T3 table
+    (sym & 3 == c plus the SA<3 exception corrections)."""
+    block = k // T3_BLOCK
+    cnt = int(fm.t3_cp[block].reshape(16, 4)[:, c].sum())
+    for j in range(block * T3_BLOCK, k):
+        if _t3_sym_np(fm, j) & 3 == c:
+            cnt += 1
+    for pos, ch in zip(fm.t3_exc_pos, fm.t3_exc_chr):
+        if pos < k:
+            if c == 0:
+                cnt -= 1           # stored sym 0 wrongly counted
+            if ch == c:
+                cnt += 1           # true preceding char
+    return cnt
+
+
+def extend_rc_t3_np(fm: FMIndex, ik1: int, ik2: int, b1: int, b2: int,
+                    b3: int):
+    """Append bases (b1, b2, b3) to P by backward-extending RC(P) with the
+    triple (comp(b3), comp(b2), comp(b1)). Returns (new_ik1, new_ik2)."""
+    c = (3 - b3) * 16 + (3 - b2) * 4 + (3 - b1)
+    lo = rank64_np(fm, c, ik1)
+    hi = rank64_np(fm, c, ik1 + ik2)
+    return int(fm.c64[c]) + lo, hi - lo
+
+
+def extend_rc_single_np(fm: FMIndex, ik1: int, ik2: int, b1: int):
+    """Append one base to P via the T3 table's single-char ranks."""
+    c = 3 - b1
+    lo = rank1_t3_np(fm, c, ik1)
+    hi = rank1_t3_np(fm, c, ik1 + ik2)
+    return int(fm.l2[c]) + 1 + lo, hi - lo
 
 
 def sa_lookup_np(fm: FMIndex, k: int) -> int:

@@ -14,7 +14,7 @@ import numpy as np
 from gsalign_tpu.genome.packing import Genome, Hole
 from gsalign_tpu.index.fmindex import FMIndex
 
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 
 
 def save_index(fm: FMIndex, prefix: str) -> None:
@@ -37,8 +37,8 @@ def save_index(fm: FMIndex, prefix: str) -> None:
         l2=fm.l2, bwt_packed=fm.bwt_packed, occ_cp=fm.occ_cp,
         sa_samples=fm.sa_samples, codes_fwd=g.codes_fwd,
         lengths=g.lengths, offsets=g.offsets,
-        pbwt_packed=fm.pbwt_packed, pair_cp=fm.pair_cp,
-        c16=fm.c16, pair_exc=fm.pair_exc,
+        t3_packed=fm.t3_packed, t3_cp=fm.t3_cp, c64=fm.c64,
+        t3_exc_pos=fm.t3_exc_pos, t3_exc_chr=fm.t3_exc_chr,
     )
 
 
@@ -69,8 +69,9 @@ def load_index(prefix: str) -> FMIndex:
         sa_samples=data["sa_samples"],
         sa_intv=manifest["sa_intv"],
         genome=genome,
-        pbwt_packed=data["pbwt_packed"],
-        pair_cp=data["pair_cp"],
-        c16=data["c16"],
-        pair_exc=data["pair_exc"],
+        t3_packed=data["t3_packed"],
+        t3_cp=data["t3_cp"],
+        c64=data["c64"],
+        t3_exc_pos=data["t3_exc_pos"],
+        t3_exc_chr=data["t3_exc_chr"],
     )

@@ -22,30 +22,33 @@ import numpy as np
 from gsalign_tpu.index.fmindex import FMIndex, WORDS_PER_BLOCK
 
 
-UNION_ROW = 32   # uint32 words per row of the unified rank table
+UNION_ROW = 16   # uint32 words per row of the single-char rank table
+T3_ROW = 96      # uint32 words per row of the order-3 rank table
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["union", "l2", "sa_samples", "c16", "pair_exc"],
-         meta_fields=["seq_len", "primary", "sa_intv", "pair_base"])
+         data_fields=["union", "t3", "l2", "sa_samples", "c64",
+                      "t3_exc_pos", "t3_exc_chr"],
+         meta_fields=["seq_len", "primary", "sa_intv"])
 @dataclasses.dataclass(frozen=True)
 class DeviceFMIndex:
-    # One unified rank table, the device analogue of the reference's
-    # interleaved .bwt layout (src/BWT_Index/bwtindex.c:53-75), padded to
-    # 32-word rows so every rank query is ONE contiguous gather:
-    #  rows [0, pair_base):  single-char blocks of 128 bases
+    # Two fused rank tables, the device analogue of the reference's
+    # interleaved .bwt layout (src/BWT_Index/bwtindex.c:53-75); every rank
+    # query is ONE contiguous row gather:
+    #  union: single-char blocks of 128 bases
     #        [cp0..cp3 | 8 packed words (2b/base) | 0...]
-    #  rows [pair_base, ..): pair-symbol blocks of 64 symbols
-    #        [cp0..cp15 | 8 packed words (4b/sym) | 0...]
-    union: jnp.ndarray        # uint32 [n_rows, 32]
+    #  t3:    order-3 blocks of 128 symbols
+    #        [cp0..cp63 | 32 packed words (8b/sym, MSB-first)]
+    union: jnp.ndarray        # uint32 [n_rows, 16]
+    t3: jnp.ndarray           # uint32 [n3_rows, 96]
     l2: jnp.ndarray           # int32 [5]
     sa_samples: jnp.ndarray   # int32 [n_samples]
-    c16: jnp.ndarray          # int32 [17]
-    pair_exc: jnp.ndarray     # int32 [2]
+    c64: jnp.ndarray          # int32 [65]
+    t3_exc_pos: jnp.ndarray   # int32 [3]
+    t3_exc_chr: jnp.ndarray   # int32 [3]
     seq_len: int
     primary: int
     sa_intv: int
-    pair_base: int
 
     @staticmethod
     def from_host(fm: FMIndex) -> "DeviceFMIndex":
@@ -55,27 +58,26 @@ class DeviceFMIndex:
         if fm.seq_len >= (1 << 31):
             raise NotImplementedError("int32 device index needs seq_len < 2^31")
         n1 = fm.occ_cp.shape[0]
-        n2 = fm.pair_cp.shape[0] if fm.pair_cp is not None else 0
-        rows = np.zeros((n1 + n2, UNION_ROW), dtype=np.uint32)
-        rows[:n1, :4] = fm.occ_cp.astype(np.int32).view(np.uint32).reshape(
+        rows = np.zeros((n1, UNION_ROW), dtype=np.uint32)
+        rows[:, :4] = fm.occ_cp.astype(np.int32).view(np.uint32).reshape(
             n1, 4)
-        rows[:n1, 4:12] = fm.bwt_packed.reshape(n1, WORDS_PER_BLOCK)
-        if n2:
-            rows[n1:, :16] = fm.pair_cp.astype(np.int32).view(
-                np.uint32).reshape(n2, 16)
-            rows[n1:, 16:24] = fm.pbwt_packed.reshape(n2, 8)
+        rows[:, 4:12] = fm.bwt_packed.reshape(n1, WORDS_PER_BLOCK)
+        n3 = fm.t3_cp.shape[0]
+        rows3 = np.empty((n3, T3_ROW), dtype=np.uint32)
+        rows3[:, :64] = fm.t3_cp.astype(np.int32).view(np.uint32).reshape(
+            n3, 64)
+        rows3[:, 64:] = fm.t3_packed.reshape(n3, 32)
         dfm = DeviceFMIndex(
             union=jnp.asarray(rows),
+            t3=jnp.asarray(rows3),
             l2=jnp.asarray(fm.l2, dtype=jnp.int32),
             sa_samples=jnp.asarray(fm.sa_samples, dtype=jnp.int32),
-            c16=jnp.asarray(fm.c16 if fm.c16 is not None
-                            else np.zeros(17), dtype=jnp.int32),
-            pair_exc=jnp.asarray(fm.pair_exc if fm.pair_exc is not None
-                                 else np.zeros(2), dtype=jnp.int32),
+            c64=jnp.asarray(fm.c64, dtype=jnp.int32),
+            t3_exc_pos=jnp.asarray(fm.t3_exc_pos, dtype=jnp.int32),
+            t3_exc_chr=jnp.asarray(fm.t3_exc_chr, dtype=jnp.int32),
             seq_len=int(fm.seq_len),
             primary=int(fm.primary),
             sa_intv=int(fm.sa_intv),
-            pair_base=n1,
         )
         fm._device_cache = dfm
         return dfm
@@ -177,60 +179,52 @@ def extend_forward(dfm: DeviceFMIndex, ik0, ik1, ik2, nt):
     return x0_all[rows, i], x1_all[rows, i], s_all[rows, i]
 
 
-def occ_class_mixed(dfm: DeviceFMIndex, k: jnp.ndarray,
-                    is_pair: jnp.ndarray, cls: jnp.ndarray) -> jnp.ndarray:
-    """Per-lane single-class rank, mode-selected, one gather.
+def occ_t3(dfm: DeviceFMIndex, k: jnp.ndarray,
+           is_triple: jnp.ndarray, cls: jnp.ndarray) -> jnp.ndarray:
+    """Per-lane single-class STRICT rank over the order-3 table, one gather.
 
-    single mode (is_pair False): # of 2-bit class `cls` in B'[0..k_adj]
-      (bwt_occ4 semantics for one class; cls in [0,4), k >= 0).
-    pair mode: # of 4-bit class `cls` in PBWT[0..k) with the SA<2 exception
-      rows subtracted from class 0.
+    triple mode (is_triple True): # of 8-bit symbols == cls in T3[0, k)
+      (cls in [0, 64)), with the SA<3 exception rows subtracted from class 0.
+    single mode: # of rows in [0, k) whose true preceding char is cls
+      (cls in [0, 4)) — sym & 3 plus exception corrections; equals the
+      bwt_occ4-based count (src/bwt_search.cpp:69-86) of rows below k.
     """
-    j8 = jnp.arange(8, dtype=jnp.int32)[None, :]
+    row = dfm.t3[k >> 7]                                     # [B, 96] uint32
+    cp = row[:, :64].astype(jnp.int32)
+    iota = jnp.arange(64, dtype=jnp.int32)[None, :]
+    want = jnp.where(is_triple[:, None], iota == cls[:, None],
+                     (iota & 3) == cls[:, None])
+    cp_sel = jnp.sum(jnp.where(want, cp, 0), axis=1, dtype=jnp.int32)
 
-    # row index per mode
-    ka = k - (k >= dfm.primary).astype(k.dtype)
-    ka_s = jnp.maximum(ka, 0)
-    row_idx = jnp.where(is_pair, dfm.pair_base + (k >> 6), ka_s >> 7)
-    row = dfm.union[row_idx]                                 # [B, 32]
-
-    # --- single interpretation ---
-    words_s = row[:, 4:12]
-    lim_s = jnp.clip((ka_s & 127)[:, None] + 1 - 16 * j8, 0, 16)
-    mask_s = jnp.where(lim_s == 0, jnp.uint32(0),
-                       jnp.uint32(0xFFFFFFFF)
-                       << jnp.clip(32 - 2 * lim_s, 0, 31).astype(jnp.uint32))
-    cs = jnp.clip(cls, 0, 3).astype(jnp.uint32)
-    x = words_s ^ (cs[:, None] * jnp.uint32(0x55555555))
-    nx = ~x
-    eq_s = nx & (nx >> jnp.uint32(1)) & _LOW
-    cnt_s = jnp.sum(jax.lax.population_count(eq_s & mask_s),
-                    axis=1).astype(jnp.int32)
-    cp_s = jnp.sum(jnp.where(jnp.arange(4)[None, :] == cls[:, None],
-                             row[:, :4].astype(jnp.int32), 0), axis=1,
-                   dtype=jnp.int32)
-
-    # --- pair interpretation (count strictly below k) ---
-    words_p = row[:, 16:24]
-    m = (k & 63)[:, None]
-    keep = jnp.clip(m - 8 * j8, 0, 8)
-    mask_p = jnp.where(keep == 0, jnp.uint32(0),
-                       jnp.uint32(0xFFFFFFFF)
-                       << jnp.clip(32 - 4 * keep, 0, 31).astype(jnp.uint32))
-    cpat = (cls.astype(jnp.uint32) & jnp.uint32(0xF)) * jnp.uint32(0x11111111)
-    xp = words_p ^ cpat[:, None]
-    s = xp | (xp >> jnp.uint32(2))
+    words = row[:, 64:]                                      # [B, 32] uint32
+    j32 = jnp.arange(32, dtype=jnp.int32)[None, :]
+    m = (k & 127)[:, None]
+    keep = jnp.clip(m - 4 * j32, 0, 4)
+    mask = jnp.where(keep == 0, jnp.uint32(0),
+                     jnp.uint32(0xFFFFFFFF)
+                     << jnp.clip(32 - 8 * keep, 0, 31).astype(jnp.uint32))
+    pat = cls.astype(jnp.uint32)[:, None] * jnp.uint32(0x01010101)
+    x = words ^ pat
+    # per-byte zero detect (all sym values < 0x40, so bits 6..7 are clean)
+    s = x | (x >> jnp.uint32(4))
+    s = s | (s >> jnp.uint32(2))
     s = s | (s >> jnp.uint32(1))
-    eq_p = (~s) & jnp.uint32(0x11111111)
-    cnt_p = jnp.sum(jax.lax.population_count(eq_p & mask_p),
-                    axis=1).astype(jnp.int32)
-    cp_p = jnp.sum(jnp.where(jnp.arange(16)[None, :] == cls[:, None],
-                             row[:, :16].astype(jnp.int32), 0), axis=1,
-                   dtype=jnp.int32)
-    corr = jnp.where(cls == 0,
-                     (dfm.pair_exc[0] < k).astype(jnp.int32)
-                     + (dfm.pair_exc[1] < k).astype(jnp.int32), 0)
-    return jnp.where(is_pair, cp_p + cnt_p - corr, cp_s + cnt_s)
+    eq_t = ~s & jnp.uint32(0x01010101)
+    x2 = x & jnp.uint32(0x03030303)
+    s2 = x2 | (x2 >> jnp.uint32(1))
+    eq_s = ~s2 & jnp.uint32(0x01010101)
+    eq = jnp.where(is_triple[:, None], eq_t, eq_s)
+    cnt = jnp.sum(jax.lax.population_count(eq & mask),
+                  axis=1).astype(jnp.int32)
+
+    below = dfm.t3_exc_pos[None, :] < k[:, None]             # [B, 3]
+    nbelow = jnp.sum(below, axis=1, dtype=jnp.int32)
+    chr_match = jnp.sum(below & (dfm.t3_exc_chr[None, :] == cls[:, None]),
+                        axis=1, dtype=jnp.int32)
+    zero_cls = (cls == 0).astype(jnp.int32)
+    corr = jnp.where(is_triple, -zero_cls * nbelow,
+                     -zero_cls * nbelow + chr_match)
+    return cp_sel + cnt + corr
 
 
 def extend_rc(dfm: DeviceFMIndex, ik1, ik2, nt):

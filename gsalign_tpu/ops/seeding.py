@@ -17,6 +17,14 @@ Lane state machine (exact emulation of IdentifyLocalMEM + BWT_Search):
                 (sensitive ? 5 : len+1)
         miss -> cursor = ext_start + 1.
 Lane done when cursor >= stop in INIT phase.
+
+Speed: steps consume THREE bases at a time through the order-3 rank table
+(ops/rank.occ_t3) whenever three unambiguous in-chunk bases remain; INIT
+seeds the interval for the first three bases directly from the C64 table
+(no rank query). Single-base steps take over near boundaries, at ambiguous
+bases, and after a triple miss, so the emitted seed set is exactly the
+reference scan's (every intermediate interval a triple skips is uniquely
+determined, and the death position is re-found by the single steps).
 """
 
 from __future__ import annotations
@@ -48,11 +56,15 @@ def _seed_scan(dfm: DeviceFMIndex,
                max_out: int):
     B = starts.shape[0]
     i32 = jnp.int32
+    assert min_seed_length > 3, "triple-step shortcuts assume min_seed > 3"
     qcodes = qcodes.astype(i32)
     Lpad = qcodes.shape[0]
-    # pack (code[i], code[i+1]) into one value: a single gather yields both
-    # upcoming bases (codes are 0..4, so base 8 packing)
-    qpairs = qcodes * 8 + jnp.concatenate([qcodes[1:], jnp.full(1, 4, i32)])
+    # pack (code[i], code[i+1], code[i+2]) into one value: a single gather
+    # yields all three upcoming bases (codes are 0..4, so base 8 packing)
+    four = jnp.full(1, 4, i32)
+    nxt1 = jnp.concatenate([qcodes[1:], four])
+    nxt2 = jnp.concatenate([qcodes[2:], four, four])
+    qtrips = qcodes * 64 + nxt1 * 8 + nxt2
 
     init_state = dict(
         phase=jnp.zeros(B, i32),
@@ -60,7 +72,7 @@ def _seed_scan(dfm: DeviceFMIndex,
         ext_start=jnp.zeros(B, i32),
         ext_pos=jnp.zeros(B, i32),
         ik1=jnp.zeros(B, i32), ik2=jnp.zeros(B, i32),
-        pair_failed=jnp.zeros(B, jnp.bool_),
+        tri_failed=jnp.zeros(B, jnp.bool_),
         out=jnp.zeros((B, max_out, 4), i32),     # (qPos, len, k0, freq)
         out_n=jnp.zeros(B, i32),
     )
@@ -75,49 +87,58 @@ def _seed_scan(dfm: DeviceFMIndex,
         phase, cursor = s["phase"], s["cursor"]
         ext_start, ext_pos = s["ext_start"], s["ext_pos"]
         ik1, ik2 = s["ik1"], s["ik2"]
-        pair_failed = s["pair_failed"]
+        tri_failed = s["tri_failed"]
 
         in_init = (phase == PHASE_INIT) & (cursor < emit_stops)
         in_ext = phase == PHASE_EXT
 
         # one shared gather: INIT lanes look at `cursor`, EXT at `ext_pos`
         look = jnp.where(in_ext, ext_pos, cursor)
-        pk = qpairs[jnp.clip(look, 0, Lpad - 1)]
-
-        # ---- INIT step ----
-        c0 = pk // 8
-        init_amb = c0 > 3
-        c0c = jnp.clip(c0, 0, 3)
-        n_ik1 = dfm.l2[3 - c0c] + 1
-        n_ik2 = dfm.l2[c0c + 1] - dfm.l2[c0c]
-
-        # ---- EXT step: pair (2 bases) when possible, else single ----
-        b1 = c0
-        b2 = pk % 8
+        pk = qtrips[jnp.clip(look, 0, Lpad - 1)]
+        b1 = pk >> 6
+        b2 = (pk >> 3) & 7
+        b3 = pk & 7
         b1c = jnp.clip(b1, 0, 3)
         b2c = jnp.clip(b2, 0, 3)
-        can_pair = ((ext_pos + 1 < ext_stops) & (b1 <= 3) & (b2 <= 3)
-                    & ~pair_failed)
-        cls = jnp.where(can_pair, (3 - b2c) * 4 + (3 - b1c), 3 - b1c)
-        kq = jnp.where(can_pair, ik1, ik1 - 1)
-        lq = kq + ik2
-        cnt = rank_ops.occ_class_mixed(
-            dfm, jnp.concatenate([kq, lq]),
-            jnp.concatenate([can_pair, can_pair]),
+        b3c = jnp.clip(b3, 0, 3)
+        real3 = (b1 <= 3) & (b2 <= 3) & (b3 <= 3)
+        cls3 = (3 - b3c) * 16 + (3 - b2c) * 4 + (3 - b1c)
+
+        # ---- INIT step ----
+        init_amb = b1 > 3
+        n_ik1 = dfm.l2[3 - b1c] + 1
+        n_ik2 = dfm.l2[b1c + 1] - dfm.l2[b1c]
+        # triple INIT: the interval of the first three appended bases is a
+        # direct C64 range (rows whose suffix starts with the RC triple)
+        init_can3 = in_init & ~init_amb & real3 & (cursor + 2 < ext_stops)
+        i3_lo = dfm.c64[cls3]
+        i3_sz = dfm.c64[cls3 + 1] - i3_lo
+        # a dead triple INIT can only be a miss (len < 4 <= min_seed): same
+        # outcome as the single-step path, cursor advances by one
+        init3_dead = init_can3 & (i3_sz == 0)
+        start_ext3 = init_can3 & ~init3_dead
+        start_ext1 = in_init & ~init_amb & ~init_can3
+
+        # ---- EXT step: triple (3 bases) when possible, else single ----
+        can3 = in_ext & (ext_pos + 2 < ext_stops) & real3 & ~tri_failed
+        cls = jnp.where(can3, cls3, 3 - b1c)
+        cnt = rank_ops.occ_t3(
+            dfm, jnp.concatenate([ik1, ik1 + ik2]),
+            jnp.concatenate([can3, can3]),
             jnp.concatenate([cls, cls]))
         tk, tl = cnt[:B], cnt[B:]
-        base = jnp.where(can_pair, dfm.c16[jnp.clip(cls, 0, 15)],
+        base = jnp.where(can3, dfm.c64[jnp.clip(cls, 0, 63)],
                          dfm.l2[jnp.clip(cls, 0, 3)] + 1)
         e_ik1 = base + tk
         e_ik2 = tl - tk
 
-        # single-path termination (only reachable when can_pair is False)
+        # single-path termination (only reachable when can3 is False)
         hit_boundary = ext_pos >= ext_stops
         hit_amb = b1 > 3
-        dead_end = (e_ik2 == 0) & ~can_pair
+        dead_end = (e_ik2 == 0) & ~can3
         finalize = in_ext & (hit_boundary | hit_amb | dead_end)
-        pair_miss = in_ext & can_pair & (e_ik2 == 0)
-        ext_ok = in_ext & ~finalize & ~pair_miss
+        tri_miss = in_ext & can3 & (e_ik2 == 0)
+        ext_ok = in_ext & ~finalize & ~tri_miss
 
         # ---- finalize ----
         length = ext_pos - ext_start
@@ -142,25 +163,31 @@ def _seed_scan(dfm: DeviceFMIndex,
         out_n = s["out_n"] + do_emit.astype(i32)
 
         # ---- state updates ----
-        start_ext = in_init & ~init_amb
-        step = jnp.where(can_pair, 2, 1)
+        start_ext = start_ext3 | start_ext1
+        step = jnp.where(can3, 3, 1)
         new_phase = jnp.where(start_ext, PHASE_EXT,
                               jnp.where(finalize, PHASE_INIT, phase))
-        new_cursor = jnp.where(in_init & init_amb, cursor + 1,
+        new_cursor = jnp.where(in_init & (init_amb | init3_dead), cursor + 1,
                                jnp.where(finalize, advance, cursor))
         new_ext_start = jnp.where(start_ext, cursor, ext_start)
-        new_ext_pos = jnp.where(start_ext, cursor + 1,
-                                jnp.where(ext_ok, ext_pos + step, ext_pos))
-        new_ik1 = jnp.where(start_ext, n_ik1, jnp.where(ext_ok, e_ik1, ik1))
-        new_ik2 = jnp.where(start_ext, n_ik2, jnp.where(ext_ok, e_ik2, ik2))
-        new_pf = jnp.where(start_ext | finalize, False,
-                           jnp.where(pair_miss, True,
-                                     jnp.where(ext_ok, False, pair_failed)))
+        new_ext_pos = jnp.where(
+            start_ext3, cursor + 3,
+            jnp.where(start_ext1, cursor + 1,
+                      jnp.where(ext_ok, ext_pos + step, ext_pos)))
+        new_ik1 = jnp.where(start_ext3, i3_lo,
+                            jnp.where(start_ext1, n_ik1,
+                                      jnp.where(ext_ok, e_ik1, ik1)))
+        new_ik2 = jnp.where(start_ext3, i3_sz,
+                            jnp.where(start_ext1, n_ik2,
+                                      jnp.where(ext_ok, e_ik2, ik2)))
+        new_tf = jnp.where(start_ext | finalize, False,
+                           jnp.where(tri_miss, True,
+                                     jnp.where(ext_ok, False, tri_failed)))
 
         return dict(
             phase=new_phase, cursor=new_cursor,
             ext_start=new_ext_start, ext_pos=new_ext_pos,
-            ik1=new_ik1, ik2=new_ik2, pair_failed=new_pf,
+            ik1=new_ik1, ik2=new_ik2, tri_failed=new_tf,
             out=out, out_n=out_n,
         )
 

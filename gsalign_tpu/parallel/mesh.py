@@ -42,12 +42,13 @@ def shard_index(dfm: DeviceFMIndex, mesh: Mesh) -> DeviceFMIndex:
     rep = replicated(mesh)
     return DeviceFMIndex(
         union=jax.device_put(dfm.union, rep),
+        t3=jax.device_put(dfm.t3, rep),
         l2=jax.device_put(dfm.l2, rep),
         sa_samples=jax.device_put(dfm.sa_samples, rep),
-        c16=jax.device_put(dfm.c16, rep),
-        pair_exc=jax.device_put(dfm.pair_exc, rep),
+        c64=jax.device_put(dfm.c64, rep),
+        t3_exc_pos=jax.device_put(dfm.t3_exc_pos, rep),
+        t3_exc_chr=jax.device_put(dfm.t3_exc_chr, rep),
         seq_len=dfm.seq_len, primary=dfm.primary, sa_intv=dfm.sa_intv,
-        pair_base=dfm.pair_base,
     )
 
 

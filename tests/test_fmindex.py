@@ -3,7 +3,9 @@ import jax.numpy as jnp
 import pytest
 
 from gsalign_tpu.genome.packing import Genome
-from gsalign_tpu.index.fmindex import (build_fmindex, occ4_np, sa_lookup_np)
+from gsalign_tpu.index.fmindex import (
+    build_fmindex, occ4_np, sa_lookup_np, rank64_np, rank1_t3_np,
+    extend_rc_t3_np, extend_rc_single_np)
 from gsalign_tpu.ops import rank as rank_ops
 from tests.helpers import naive_suffix_array, random_genome
 
@@ -125,3 +127,74 @@ def test_extend_forward_matches_naive(fm, sa_full):
             got_pos = sorted(np.asarray(
                 rank_ops.resolve_sa(dfm, jnp.asarray(ranks)))[:full].tolist())
             assert got_pos == occ
+
+
+def test_rank64_np_vs_brute(fm, sa_full):
+    """Triple-symbol strict ranks against a brute count over true contexts."""
+    text = fm.genome.codes_fwd_rc()
+    n = fm.seq_len
+    true_t3 = np.full(n + 1, -1, dtype=np.int64)
+    ok = sa_full >= 3
+    s = sa_full[ok]
+    true_t3[ok] = text[s - 3] * 16 + text[s - 2] * 4 + text[s - 1]
+    rng = np.random.default_rng(5)
+    for k in [0, 1, 127, 128, 129, 300, n - 1, n, n + 1]:
+        for c in rng.integers(0, 64, size=6).tolist():
+            expect = int((true_t3[:k] == c).sum())
+            assert rank64_np(fm, int(c), k) == expect, f"k={k} c={c}"
+
+
+def test_rank1_t3_np_vs_brute(fm, sa_full):
+    """Single-char strict ranks via the T3 table against true prev chars."""
+    text = fm.genome.codes_fwd_rc()
+    n = fm.seq_len
+    prev1 = np.full(n + 1, -1, dtype=np.int64)
+    ok = sa_full >= 1
+    prev1[ok] = text[sa_full[ok] - 1]
+    for k in [0, 1, 2, 3, 127, 128, 129, 300, n, n + 1]:
+        for c in range(4):
+            expect = int((prev1[:k] == c).sum())
+            assert rank1_t3_np(fm, c, k) == expect, f"k={k} c={c}"
+
+
+def test_device_occ_t3_matches_np(fm):
+    dfm = rank_ops.DeviceFMIndex.from_host(fm)
+    n = fm.seq_len
+    rng = np.random.default_rng(8)
+    ks = rng.integers(0, n + 2, size=32).astype(np.int32)
+    ks[:4] = [0, 1, 128, n + 1]
+    tri = (np.arange(32) % 2 == 0)
+    cls = np.where(tri, rng.integers(0, 64, size=32),
+                   rng.integers(0, 4, size=32)).astype(np.int32)
+    got = np.asarray(rank_ops.occ_t3(
+        dfm, jnp.asarray(ks), jnp.asarray(tri), jnp.asarray(cls)))
+    for i in range(32):
+        if tri[i]:
+            expect = rank64_np(fm, int(cls[i]), int(ks[i]))
+        else:
+            expect = rank1_t3_np(fm, int(cls[i]), int(ks[i]))
+        assert got[i] == expect, f"i={i} k={ks[i]} c={cls[i]} tri={tri[i]}"
+
+
+def test_extend_rc_t3_np_matches_naive(fm, sa_full):
+    """Triple extension tracks occurrence counts of RC-patterns."""
+    from tests.helpers import naive_occurrences
+    text = fm.genome.codes_fwd_rc()
+    rng = np.random.default_rng(4)
+    for _ in range(8):
+        s = int(rng.integers(0, len(text) - 16))
+        pat = text[s:s + 13].astype(int)
+        ik1 = int(fm.l2[3 - pat[0]]) + 1
+        ik2 = int(fm.l2[pat[0] + 1] - fm.l2[pat[0]])
+        j = 1
+        while j + 2 < len(pat):
+            ik1, ik2 = extend_rc_t3_np(fm, ik1, ik2,
+                                       pat[j], pat[j + 1], pat[j + 2])
+            j += 3
+            expect = len(naive_occurrences(text, pat[:j]))
+            assert ik2 == expect, f"j={j}"
+        while j < len(pat):
+            ik1, ik2 = extend_rc_single_np(fm, ik1, ik2, pat[j])
+            j += 1
+            expect = len(naive_occurrences(text, pat[:j]))
+            assert ik2 == expect, f"j={j} (single)"
