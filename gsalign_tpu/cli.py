@@ -120,7 +120,15 @@ def main(argv=None) -> int:
         elif a == "-dp":
             updates["show_plot"] = True
         elif a == "-fmt":
-            updates["output_format"] = int(nxt())
+            # the reference parses -fmt unchecked (src/main.cpp:286) and a
+            # value outside {1,2} silently writes no alignment file
+            # (src/main.cpp:146-151); fail loudly instead
+            v = int(nxt())
+            if v not in (1, 2):
+                print("Warning! Output format should be 1 (maf) or 2 (aln)!",
+                      file=sys.stderr)
+                return 1
+            updates["output_format"] = v
         elif a == "-o":
             output_prefix = nxt()
         elif a in ("-d", "-debug", "-gp", "-obr"):
