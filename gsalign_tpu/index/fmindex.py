@@ -72,16 +72,24 @@ def pack_bwt_codes(bcodes: np.ndarray) -> np.ndarray:
 
 def build_fmindex(genome: Genome, sa_intv: Optional[int] = None,
                   prefer_device: bool = True,
-                  sa_full: Optional[np.ndarray] = None) -> FMIndex:
+                  sa_full: Optional[np.ndarray] = None,
+                  force_wide: bool = False) -> FMIndex:
     """Build the FM-index over the genome's fwd+RC text.
 
     sa_intv None picks automatically: the FULL suffix array (interval 1 —
     occurrence resolution becomes a single gather, no LF walks) while it
-    fits a ~1.2GB budget, else every-8th sampling."""
+    fits a ~1.2GB budget, else every-8th sampling.
+
+    Texts with seq_len >= 2^31 (the reference handles these via 64-bit
+    bwtint_t, src/BWT_Index/bwt.h:36-40) keep int64 checkpoints/SA; the
+    device layout splits them into u32 low words + 2-bit carries (see
+    ops/rank.DeviceFMIndex). force_wide builds that layout for small
+    genomes too (test path)."""
     text = genome.codes_fwd_rc()
     n = int(text.shape[0])
+    wide = force_wide or n >= (1 << 31)
     if sa_intv is None:
-        sa_intv = 1 if n <= 300_000_000 else 8
+        sa_intv = 1 if (n <= 300_000_000 and not wide) else 8
     assert sa_intv & (sa_intv - 1) == 0, "sa_intv must be a power of two"
     if sa_full is None:
         sa_full = build_suffix_array(text, prefer_device=prefer_device)
@@ -117,7 +125,7 @@ def build_fmindex(genome: Genome, sa_intv: Optional[int] = None,
     per_block = np.bincount(ids, minlength=n_blocks * 4).reshape(n_blocks, 4)
     occ_cp = np.zeros((n_blocks, 4), dtype=np.int64)
     occ_cp[1:] = np.cumsum(per_block, axis=0)[:-1]
-    cp_dtype = np.int32 if n < (1 << 31) else np.int64
+    cp_dtype = np.int64 if wide else np.int32
     occ_cp = occ_cp.astype(cp_dtype)
 
     bwt_packed = pack_bwt_codes(bcodes)
@@ -127,11 +135,11 @@ def build_fmindex(genome: Genome, sa_intv: Optional[int] = None,
         bwt_packed = np.concatenate(
             [bwt_packed, np.zeros(want - bwt_packed.shape[0], dtype=np.uint32)])
 
-    sa_dtype = np.int32 if n < (1 << 31) else np.int64
+    sa_dtype = np.int64 if wide else np.int32
     sa_samples = sa_full[::sa_intv].astype(sa_dtype)
 
     t3_packed, t3_cp, c64, t3_exc_pos, t3_exc_chr = _build_t3_index(
-        sa_full, g_ctx, text, n)
+        sa_full, g_ctx, text, n, cp_dtype)
 
     return FMIndex(
         seq_len=n, primary=primary, l2=l2, bwt_packed=bwt_packed,
@@ -142,7 +150,7 @@ def build_fmindex(genome: Genome, sa_intv: Optional[int] = None,
 
 
 def _build_t3_index(sa_full: np.ndarray, g_ctx: np.ndarray,
-                    text: np.ndarray, n: int):
+                    text: np.ndarray, n: int, cp_dtype=np.int32):
     """Order-3 (alphabet-64) BWT over all SA_full rows: T3[i] = the three
     bases preceding suffix SA[i] as T[SA-3]*16 + T[SA-2]*4 + T[SA-1]. Rows
     with SA < 3 lack a full 3-base left context: stored as 0 and corrected
@@ -160,7 +168,7 @@ def _build_t3_index(sa_full: np.ndarray, g_ctx: np.ndarray,
           + ((g_ctx >> 12) & np.uint32(7)) * 4
           + ((g_ctx >> 9) & np.uint32(7))).astype(np.uint8)
     small = np.nonzero(sa_full < 3)[0]          # exceptions: SA in {0, 1, 2}
-    t3_exc_pos = small.astype(np.int32)
+    t3_exc_pos = small.astype(cp_dtype)
     assert t3_exc_pos.shape[0] == 3
     sa_small = sa_full[small]
     t3_exc_chr = np.where(sa_small == 0, -1,
@@ -192,7 +200,7 @@ def _build_t3_index(sa_full: np.ndarray, g_ctx: np.ndarray,
         n3_blocks, 64)
     t3_cp = np.zeros((n3_blocks, 64), dtype=np.int64)
     t3_cp[1:] = np.cumsum(per_block, axis=0)[:-1]
-    t3_cp = t3_cp.astype(np.int32)
+    t3_cp = t3_cp.astype(cp_dtype)
     padded = np.zeros(n3_blocks * T3_BLOCK, dtype=np.uint8)
     padded[:rows] = t3
 

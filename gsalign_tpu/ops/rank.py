@@ -6,8 +6,9 @@ interleaved BWT (src/bwt_search.cpp:45-119). Here a query is a lane of a
 over the 8 words of one 128-base block, so thousands of FM extensions step
 together through the index — that is the whole design point of the TPU port.
 
-All rank-space integers are int32 (seq_len < 2^31 asserted at build time;
-multi-host sharding covers larger genomes).
+Rank-space integers are int32 below seq_len 2^31 and int64 above (the
+"wide" layout: u32 low checkpoints + 2-bit carries, matching the
+reference's 64-bit bwtint_t regime, src/BWT_Index/bwt.h:36-40).
 """
 
 from __future__ import annotations
@@ -23,13 +24,14 @@ from gsalign_tpu.index.fmindex import FMIndex, WORDS_PER_BLOCK
 
 
 UNION_ROW = 16   # uint32 words per row of the single-char rank table
-T3_ROW = 96      # uint32 words per row of the order-3 rank table
+T3_ROW = 96      # uint32 words per row of the order-3 rank table (narrow)
+T3_ROW_WIDE = 100  # wide rows add 4 carry words (2 bits/class: cp bits 32-33)
 
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["union", "t3", "l2", "sa_samples", "c64",
                       "t3_exc_pos", "t3_exc_chr"],
-         meta_fields=["seq_len", "primary", "sa_intv"])
+         meta_fields=["seq_len", "primary", "sa_intv", "wide"])
 @dataclasses.dataclass(frozen=True)
 class DeviceFMIndex:
     # Two fused rank tables, the device analogue of the reference's
@@ -38,46 +40,71 @@ class DeviceFMIndex:
     #  union: single-char blocks of 128 bases
     #        [cp0..cp3 | 8 packed words (2b/base) | 0...]
     #  t3:    order-3 blocks of 128 symbols
-    #        [cp0..cp63 | 32 packed words (8b/sym, MSB-first)]
-    union: jnp.ndarray        # uint32 [n_rows, 16]
-    t3: jnp.ndarray           # uint32 [n3_rows, 96]
-    l2: jnp.ndarray           # int32 [5]
-    sa_samples: jnp.ndarray   # int32 [n_samples]
-    c64: jnp.ndarray          # int32 [65]
-    t3_exc_pos: jnp.ndarray   # int32 [3]
+    #        narrow: [cp0..cp63 | 32 packed words (8b/sym, MSB-first)]
+    #        wide:   [cp-low0..63 | 4 carry words | 32 packed words]
+    # wide indexes (seq_len >= 2^31, the reference's 64-bit bwtint_t regime,
+    # src/BWT_Index/bwt.h:36-40) store int64 checkpoints as u32 low words
+    # plus a 2-bit carry per class; all interval arithmetic runs in int64.
+    union: jnp.ndarray        # uint32 [n_rows, 16] (narrow only; [1,16] wide)
+    t3: jnp.ndarray           # uint32 [n3_rows, 96 | 100]
+    l2: jnp.ndarray           # rdtype [5]
+    sa_samples: jnp.ndarray   # rdtype [n_samples]
+    c64: jnp.ndarray          # rdtype [65]
+    t3_exc_pos: jnp.ndarray   # rdtype [3]
     t3_exc_chr: jnp.ndarray   # int32 [3]
     seq_len: int
     primary: int
     sa_intv: int
+    wide: bool
+
+    @property
+    def rdtype(self):
+        return jnp.int64 if self.wide else jnp.int32
+
+    @property
+    def sym_base(self) -> int:
+        return 68 if self.wide else 64
 
     @staticmethod
     def from_host(fm: FMIndex) -> "DeviceFMIndex":
         cached = getattr(fm, "_device_cache", None)
         if cached is not None:
             return cached
-        if fm.seq_len >= (1 << 31):
-            raise NotImplementedError("int32 device index needs seq_len < 2^31")
-        n1 = fm.occ_cp.shape[0]
-        rows = np.zeros((n1, UNION_ROW), dtype=np.uint32)
-        rows[:, :4] = fm.occ_cp.astype(np.int32).view(np.uint32).reshape(
-            n1, 4)
-        rows[:, 4:12] = fm.bwt_packed.reshape(n1, WORDS_PER_BLOCK)
+        wide = fm.rank_dtype == np.int64
         n3 = fm.t3_cp.shape[0]
-        rows3 = np.empty((n3, T3_ROW), dtype=np.uint32)
-        rows3[:, :64] = fm.t3_cp.astype(np.int32).view(np.uint32).reshape(
-            n3, 64)
-        rows3[:, 64:] = fm.t3_packed.reshape(n3, 32)
+        if wide:
+            union = np.zeros((1, UNION_ROW), dtype=np.uint32)
+            rows3 = np.empty((n3, T3_ROW_WIDE), dtype=np.uint32)
+            cp = fm.t3_cp
+            rows3[:, :64] = (cp & 0xFFFFFFFF).astype(np.uint32)
+            carry = ((cp >> 32) & 3).astype(np.uint32)       # [n3, 64]
+            cw = carry.reshape(n3, 4, 16)
+            shifts = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
+            rows3[:, 64:68] = np.bitwise_or.reduce(cw << shifts, axis=2)
+            rows3[:, 68:] = fm.t3_packed.reshape(n3, 32)
+        else:
+            n1 = fm.occ_cp.shape[0]
+            union = np.zeros((n1, UNION_ROW), dtype=np.uint32)
+            union[:, :4] = fm.occ_cp.astype(np.int32).view(
+                np.uint32).reshape(n1, 4)
+            union[:, 4:12] = fm.bwt_packed.reshape(n1, WORDS_PER_BLOCK)
+            rows3 = np.empty((n3, T3_ROW), dtype=np.uint32)
+            rows3[:, :64] = fm.t3_cp.astype(np.int32).view(
+                np.uint32).reshape(n3, 64)
+            rows3[:, 64:] = fm.t3_packed.reshape(n3, 32)
+        rdt = jnp.int64 if wide else jnp.int32
         dfm = DeviceFMIndex(
-            union=jnp.asarray(rows),
+            union=jnp.asarray(union),
             t3=jnp.asarray(rows3),
-            l2=jnp.asarray(fm.l2, dtype=jnp.int32),
-            sa_samples=jnp.asarray(fm.sa_samples, dtype=jnp.int32),
-            c64=jnp.asarray(fm.c64, dtype=jnp.int32),
-            t3_exc_pos=jnp.asarray(fm.t3_exc_pos, dtype=jnp.int32),
+            l2=jnp.asarray(fm.l2, dtype=rdt),
+            sa_samples=jnp.asarray(fm.sa_samples, dtype=rdt),
+            c64=jnp.asarray(fm.c64, dtype=rdt),
+            t3_exc_pos=jnp.asarray(fm.t3_exc_pos, dtype=rdt),
             t3_exc_chr=jnp.asarray(fm.t3_exc_chr, dtype=jnp.int32),
             seq_len=int(fm.seq_len),
             primary=int(fm.primary),
             sa_intv=int(fm.sa_intv),
+            wide=wide,
         )
         fm._device_cache = dfm
         return dfm
@@ -189,16 +216,27 @@ def occ_t3(dfm: DeviceFMIndex, k: jnp.ndarray,
       (cls in [0, 4)) — sym & 3 plus exception corrections; equals the
       bwt_occ4-based count (src/bwt_search.cpp:69-86) of rows below k.
     """
-    row = dfm.t3[k >> 7]                                     # [B, 96] uint32
-    cp = row[:, :64].astype(jnp.int32)
+    rdt = dfm.rdtype
+    cls = cls.astype(jnp.int32)
+    row = dfm.t3[k >> 7]                                     # [B, W] uint32
     iota = jnp.arange(64, dtype=jnp.int32)[None, :]
     want = jnp.where(is_triple[:, None], iota == cls[:, None],
                      (iota & 3) == cls[:, None])
-    cp_sel = jnp.sum(jnp.where(want, cp, 0), axis=1, dtype=jnp.int32)
+    if dfm.wide:
+        lo = row[:, :64].astype(jnp.int64)                   # u32 -> exact
+        cw = row[:, 64:68]
+        carr = (cw[:, :, None] >> (jnp.arange(16, dtype=jnp.uint32) * 2)
+                [None, None, :]) & jnp.uint32(3)
+        cp = lo + (carr.reshape(lo.shape[0], 64).astype(jnp.int64)
+                   << jnp.int64(32))
+        cp_sel = jnp.sum(jnp.where(want, cp, 0), axis=1, dtype=jnp.int64)
+    else:
+        cp = row[:, :64].astype(jnp.int32)
+        cp_sel = jnp.sum(jnp.where(want, cp, 0), axis=1, dtype=jnp.int32)
 
-    words = row[:, 64:]                                      # [B, 32] uint32
+    words = row[:, dfm.sym_base:]                            # [B, 32] uint32
     j32 = jnp.arange(32, dtype=jnp.int32)[None, :]
-    m = (k & 127)[:, None]
+    m = (k & 127).astype(jnp.int32)[:, None]
     keep = jnp.clip(m - 4 * j32, 0, 4)
     mask = jnp.where(keep == 0, jnp.uint32(0),
                      jnp.uint32(0xFFFFFFFF)
@@ -224,7 +262,7 @@ def occ_t3(dfm: DeviceFMIndex, k: jnp.ndarray,
     zero_cls = (cls == 0).astype(jnp.int32)
     corr = jnp.where(is_triple, -zero_cls * nbelow,
                      -zero_cls * nbelow + chr_match)
-    return cp_sel + cnt + corr
+    return cp_sel + (cnt + corr).astype(rdt)
 
 
 def extend_rc(dfm: DeviceFMIndex, ik1, ik2, nt):
@@ -257,6 +295,27 @@ def inv_psi(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(k == dfm.primary, 0, xr)
 
 
+def lf_t3(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
+    """Batched LF mapping over SA_full rank space via the T3 table: the
+    rank whose suffix is one position to the LEFT (bwt_invPsi semantics,
+    src/bwt_search.cpp:121-127, without the $-removed-BWT index shuffling).
+    LF(k) = L2[c] + 1 + strict_rank1(c, k) for c = the char preceding row
+    k's suffix; the SA==0 row maps to the sentinel row 0."""
+    B = k.shape[0]
+    row_syms = dfm.t3[k >> 7, dfm.sym_base:]                 # [B, 32]
+    inb = (k & 127).astype(jnp.int32)
+    w = jnp.take_along_axis(row_syms, (inb >> 2)[:, None], axis=1)[:, 0]
+    sym = (w >> (((3 - (inb & 3)) * 8).astype(jnp.uint32))) & jnp.uint32(0xFF)
+    c = sym.astype(jnp.int32) & 3
+    for i in range(3):           # rows with SA < 3 store sym 0; fix the char
+        c = jnp.where((k == dfm.t3_exc_pos[i]) & (dfm.t3_exc_chr[i] >= 0),
+                      dfm.t3_exc_chr[i], c)
+    rank = occ_t3(dfm, k, jnp.zeros(B, jnp.bool_), c)
+    out = dfm.l2[c] + 1 + rank
+    return jnp.where(k == jnp.asarray(dfm.primary, k.dtype),
+                     jnp.zeros_like(out), out)
+
+
 @partial(jax.jit, static_argnums=())
 def resolve_sa(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     """Batched bwt_sa (src/bwt_search.cpp:129-139): LF-walk each rank to the
@@ -264,7 +323,8 @@ def resolve_sa(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     With a full SA (sa_intv == 1) this is a single gather."""
     if dfm.sa_intv == 1:
         return dfm.sa_samples[k]
-    mask = jnp.int32(dfm.sa_intv - 1)
+    k = k.astype(dfm.rdtype)
+    mask = jnp.asarray(dfm.sa_intv - 1, dfm.rdtype)
     log2_intv = int(np.log2(dfm.sa_intv))
 
     def cond(state):
@@ -274,9 +334,10 @@ def resolve_sa(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     def body(state):
         k, steps = state
         active = (k & mask) != 0
-        k_new = inv_psi(dfm, k)
-        return jnp.where(active, k_new, k), steps + active.astype(jnp.int32)
+        k_new = lf_t3(dfm, k)
+        return (jnp.where(active, k_new, k),
+                steps + active.astype(dfm.rdtype))
 
     k, steps = jax.lax.while_loop(cond, body, (k, jnp.zeros_like(k)))
     base = dfm.sa_samples[k >> log2_intv]
-    return (steps + base) % jnp.int32(dfm.seq_len + 1)
+    return (steps + base) % jnp.asarray(dfm.seq_len + 1, dfm.rdtype)

@@ -56,6 +56,7 @@ def _seed_scan(dfm: DeviceFMIndex,
                max_out: int):
     B = starts.shape[0]
     i32 = jnp.int32
+    rdt = dfm.rdtype
     assert min_seed_length > 3, "triple-step shortcuts assume min_seed > 3"
     qcodes = qcodes.astype(i32)
     Lpad = qcodes.shape[0]
@@ -71,9 +72,10 @@ def _seed_scan(dfm: DeviceFMIndex,
         cursor=starts.astype(i32),
         ext_start=jnp.zeros(B, i32),
         ext_pos=jnp.zeros(B, i32),
-        ik1=jnp.zeros(B, i32), ik2=jnp.zeros(B, i32),
+        ik1=jnp.zeros(B, rdt), ik2=jnp.zeros(B, rdt),
         tri_failed=jnp.zeros(B, jnp.bool_),
-        out=jnp.zeros((B, max_out, 4), i32),     # (qPos, len, k0, freq)
+        out=jnp.zeros((B, max_out, 3), i32),     # (qPos, len, freq)
+        out_k0=jnp.zeros((B, max_out), rdt),     # rank-space interval start
         out_n=jnp.zeros(B, i32),
     )
 
@@ -145,6 +147,7 @@ def _seed_scan(dfm: DeviceFMIndex,
         freq = ik2
         is_hit = finalize & (length >= min_seed_length) & (freq > 0) & \
             (freq <= max_seed_freq)
+        freq32 = jnp.minimum(freq, max_seed_freq + 1).astype(i32)
         advance = jnp.where(
             is_hit,
             ext_start + (5 if sensitive else 0) +
@@ -155,11 +158,14 @@ def _seed_scan(dfm: DeviceFMIndex,
         # lanes some lane emits nearly every iteration, so no cond guard)
         slot = jnp.minimum(s["out_n"], max_out - 1)
         do_emit = is_hit & (s["out_n"] < max_out)
-        record = jnp.stack([ext_start, length, ik1, freq], axis=1)  # [B,4]
+        record = jnp.stack([ext_start, length, freq32], axis=1)     # [B,3]
         rows = jnp.arange(B)
         old = s["out"][rows, slot]
         out = s["out"].at[rows, slot].set(
             jnp.where(do_emit[:, None], record, old))
+        old_k0 = s["out_k0"][rows, slot]
+        out_k0 = s["out_k0"].at[rows, slot].set(
+            jnp.where(do_emit, ik1, old_k0))
         out_n = s["out_n"] + do_emit.astype(i32)
 
         # ---- state updates ----
@@ -188,13 +194,13 @@ def _seed_scan(dfm: DeviceFMIndex,
             phase=new_phase, cursor=new_cursor,
             ext_start=new_ext_start, ext_pos=new_ext_pos,
             ik1=new_ik1, ik2=new_ik2, tri_failed=new_tf,
-            out=out, out_n=out_n,
+            out=out, out_k0=out_k0, out_n=out_n,
         )
 
     final = jax.lax.while_loop(cond, body, init_state)
     o = final["out"]
-    return (o[:, :, 0], o[:, :, 1], o[:, :, 2], o[:, :, 3], final["out_n"],
-            final["cursor"])
+    return (o[:, :, 0], o[:, :, 1], final["out_k0"], o[:, :, 2],
+            final["out_n"], final["cursor"])
 
 
 def _next_pow2(n: int, floor: int = 64) -> int:
@@ -452,9 +458,9 @@ def _expand_hits(dfm, qs, ls, k0, fr):
     total = int(fr.sum())
     rep = np.repeat(np.arange(qs.shape[0]), fr)
     offset = np.arange(total) - np.repeat(np.cumsum(fr) - fr, fr)
-    ranks = (k0[rep].astype(np.int64) + offset).astype(np.int32)
+    ranks = (k0[rep].astype(np.int64) + offset).astype(k0.dtype)
     want = _next_pow2(total)
-    ranks_pad = np.full(want, ranks[0] if total else 1, dtype=np.int32)
+    ranks_pad = np.full(want, ranks[0] if total else 1, dtype=k0.dtype)
     ranks_pad[:total] = ranks
     rc_pos = np.asarray(rank_ops.resolve_sa(
         dfm, jnp.asarray(ranks_pad)))[:total].astype(np.int64)

@@ -49,6 +49,7 @@ def shard_index(dfm: DeviceFMIndex, mesh: Mesh) -> DeviceFMIndex:
         t3_exc_pos=jax.device_put(dfm.t3_exc_pos, rep),
         t3_exc_chr=jax.device_put(dfm.t3_exc_chr, rep),
         seq_len=dfm.seq_len, primary=dfm.primary, sa_intv=dfm.sa_intv,
+        wide=dfm.wide,
     )
 
 

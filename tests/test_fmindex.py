@@ -198,3 +198,90 @@ def test_extend_rc_t3_np_matches_naive(fm, sa_full):
             j += 1
             expect = len(naive_occurrences(text, pat[:j]))
             assert ik2 == expect, f"j={j} (single)"
+
+
+class TestWideIndex:
+    """int64 ("wide") index layout: forced on a small genome, must agree
+    with the narrow path everywhere (the layout the >=2^31 regime uses —
+    reference handles those via 64-bit bwtint_t, src/BWT_Index/bwt.h:36-40).
+    """
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        rng = np.random.default_rng(17)
+        codes = random_genome(rng, 700)
+        g = make_genome(codes)
+        narrow = build_fmindex(g, sa_intv=8, prefer_device=False)
+        g2 = make_genome(codes)
+        wide = build_fmindex(g2, sa_intv=8, prefer_device=False,
+                             force_wide=True)
+        return narrow, wide
+
+    def test_dtypes(self, pair):
+        narrow, wide = pair
+        assert narrow.rank_dtype == np.int32
+        assert wide.rank_dtype == np.int64
+        assert wide.sa_samples.dtype == np.int64
+
+    def test_device_occ_t3_agree(self, pair):
+        narrow, wide = pair
+        dn = rank_ops.DeviceFMIndex.from_host(narrow)
+        dw = rank_ops.DeviceFMIndex.from_host(wide)
+        assert dw.wide and not dn.wide
+        assert dw.t3.shape[1] == rank_ops.T3_ROW_WIDE
+        n = narrow.seq_len
+        rng = np.random.default_rng(3)
+        ks = rng.integers(0, n + 2, size=64).astype(np.int64)
+        tri = (np.arange(64) % 2 == 0)
+        cls = np.where(tri, rng.integers(0, 64, size=64),
+                       rng.integers(0, 4, size=64)).astype(np.int32)
+        got_n = np.asarray(rank_ops.occ_t3(
+            dn, jnp.asarray(ks, jnp.int32), jnp.asarray(tri),
+            jnp.asarray(cls)))
+        got_w = np.asarray(rank_ops.occ_t3(
+            dw, jnp.asarray(ks, jnp.int64), jnp.asarray(tri),
+            jnp.asarray(cls)))
+        np.testing.assert_array_equal(got_n.astype(np.int64), got_w)
+
+    def test_wide_carry_bits(self, pair):
+        """Simulated huge checkpoints: lows + carries reassemble exactly."""
+        _, wide = pair
+        import copy
+        big = copy.copy(wide)
+        big._device_cache = None
+        big.t3_cp = wide.t3_cp + (np.int64(3) << 32)   # force carry = 3
+        dw = rank_ops.DeviceFMIndex.from_host(big)
+        n3 = big.t3_cp.shape[0]
+        lo = np.asarray(dw.t3[:, :64]).astype(np.int64)
+        cw = np.asarray(dw.t3[:, 64:68])
+        carr = ((cw[:, :, None] >> (np.arange(16, dtype=np.uint32) * 2)
+                 [None, None, :]) & 3).reshape(n3, 64)
+        np.testing.assert_array_equal(lo + (carr.astype(np.int64) << 32),
+                                      big.t3_cp)
+
+    def test_device_resolve_sa_wide(self, pair):
+        narrow, wide = pair
+        dw = rank_ops.DeviceFMIndex.from_host(wide)
+        text = wide.genome.codes_fwd_rc()
+        sa_full = naive_suffix_array(text)
+        n = wide.seq_len
+        ks = np.arange(1, n + 1, 7, dtype=np.int64)
+        got = np.asarray(rank_ops.resolve_sa(dw, jnp.asarray(ks)))
+        np.testing.assert_array_equal(got, sa_full[ks])
+
+    def test_seeding_wide_matches_naive(self, pair):
+        from gsalign_tpu.ops.seeding import find_seeds
+        from tests.helpers import naive_lmem_seeds
+        narrow, wide = pair
+        rng = np.random.default_rng(21)
+        qry = wide.genome.codes_fwd[:600].copy()
+        subs = rng.random(len(qry)) < 0.02
+        qry[subs] = (qry[subs] + rng.integers(1, 4, subs.sum())) % 4
+        dw = rank_ops.DeviceFMIndex.from_host(wide)
+        q_pos, r_pos, length = find_seeds(dw, qry, min_seed_length=12,
+                                          chunk=300)
+        text = wide.genome.codes_fwd_rc()
+        expect = sorted(naive_lmem_seeds(text, qry, min_seed_length=12,
+                                         max_seed_freq=100, chunk=300))
+        got = sorted(zip(q_pos.tolist(), r_pos.tolist(), length.tolist()))
+        assert got == expect
