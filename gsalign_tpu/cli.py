@@ -177,7 +177,15 @@ def main(argv=None) -> int:
         print("Please specify a valid reference genome", file=sys.stderr)
         return 1
 
-    compare_genomes(fm, query_records, cfg, output_prefix=output_prefix)
+    mesh = None
+    import jax
+    if len(jax.devices()) > 1:
+        # multi-chip host: shard seeding lanes + DP problems over all
+        # local devices (outputs are bit-identical for any device count)
+        from gsalign_tpu.parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh()
+    compare_genomes(fm, query_records, cfg, output_prefix=output_prefix,
+                    mesh=mesh)
     return 0
 
 

@@ -172,12 +172,13 @@ def dp_align_batch(q_codes: jnp.ndarray,   # int32 [B, L] ref fragments (pad 4)
 def align_fragments(ref_frags, qry_frags, bucket_sizes=(64, 128, 256, 512,
                                                         1024, 2048, 5120),
                     batch_cells: int = 1 << 26,
-                    dp_fn=None) -> list:
+                    dp_fn=None, mesh=None) -> list:
     """Align a list of (ref_codes, qry_codes) numpy fragment pairs.
 
     Buckets problems by max(len) into padded batches, runs the device kernel
     per bucket, returns per-pair op lists in FORWARD order (list of numpy
-    uint8 arrays of {OP_M, OP_D, OP_I}).
+    uint8 arrays of {OP_M, OP_D, OP_I}). With a mesh, each batch's problem
+    axis is sharded over the "frag" devices.
     """
     if dp_fn is None:
         dp_fn = dp_align_batch
@@ -205,6 +206,9 @@ def align_fragments(ref_frags, qry_frags, bucket_sizes=(64, 128, 256, 512,
             B = 8
             while B < len(part):
                 B *= 2
+            if mesh is not None:
+                from gsalign_tpu.parallel import mesh as mesh_lib
+                B = mesh_lib.pad_to_multiple(B, mesh.devices.size)
             q = np.full((B, Lb), WILDCARD, dtype=np.int32)
             t = np.full((B, Lb), WILDCARD, dtype=np.int32)
             ql = np.ones(B, dtype=np.int32)
@@ -215,9 +219,16 @@ def align_fragments(ref_frags, qry_frags, bucket_sizes=(64, 128, 256, 512,
                 t[bi, :len(qf)] = qf
                 ql[bi] = len(rf)
                 tl[bi] = len(qf)
-            pending.append((part, dp_fn(jnp.asarray(q), jnp.asarray(t),
-                                        jnp.asarray(ql), jnp.asarray(tl),
-                                        Lb)))
+            if mesh is not None:
+                from gsalign_tpu.parallel import mesh as mesh_lib
+                args = (mesh_lib.shard_lanes(q, mesh, WILDCARD),
+                        mesh_lib.shard_lanes(t, mesh, WILDCARD),
+                        mesh_lib.shard_lanes(ql, mesh, 1),
+                        mesh_lib.shard_lanes(tl, mesh, 1))
+            else:
+                args = (jnp.asarray(q), jnp.asarray(t), jnp.asarray(ql),
+                        jnp.asarray(tl))
+            pending.append((part, dp_fn(*args, Lb)))
     for part, dev_ops in pending:
         ops = np.asarray(dev_ops)
         for bi, i in enumerate(part):

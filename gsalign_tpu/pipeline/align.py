@@ -64,8 +64,14 @@ def compare_genomes(fm: FMIndex,
                     cfg: AlignConfig,
                     output_prefix: Optional[str] = None,
                     verbose: bool = True,
-                    dp_fn=None):
+                    dp_fn=None,
+                    mesh=None):
     """Run the full comparison. query_records: [(name, ascii uint8[]), ...].
+
+    With a mesh (jax.sharding.Mesh over the "frag" axis), the two batched
+    device stages — seeding lanes and DP problems — are sharded across its
+    devices with the FM-index replicated; outputs are bit-identical for any
+    device count (deterministic merge order).
 
     Returns (RunStats, VariantCollector, [ChromosomeResult]).
     """
@@ -93,7 +99,8 @@ def compare_genomes(fm: FMIndex,
             min_seed_length=cfg.min_seed_length,
             max_seed_freq=cfg.max_seed_freq,
             sensitive=cfg.sensitive,
-            chunk=cfg.seed_exploration_chunk)
+            chunk=cfg.seed_exploration_chunk,
+            mesh=mesh)
 
     first_out = True
     for qc_idx, (qname, qry_chars) in enumerate(query_records):
@@ -147,7 +154,7 @@ def compare_genomes(fm: FMIndex,
         # S9: alignment generation (device DP)
         with device_trace(), timer.stage("align"):
             generate_alignments(blocks, qry_chars, ref_chars, cfg,
-                                dp_fn=dp_fn)
+                                dp_fn=dp_fn, mesh=mesh)
 
         # identity filter + stats (src/GSAlign.cpp:528-541)
         n = 0

@@ -69,7 +69,7 @@ def pair_rows(blk: Block, j: int, qry_chars: np.ndarray,
 
 def generate_alignments(blocks: List[Block], qry_chars: np.ndarray,
                         ref_chars: np.ndarray, cfg: AlignConfig,
-                        dp_fn=None) -> None:
+                        dp_fn=None, mesh=None) -> None:
     """Fill aln rows for DP pairs; set per-block score/aln_len."""
     ref_codes = NT4_TABLE[ref_chars]
     qry_codes = NT4_TABLE[qry_chars]
@@ -123,7 +123,7 @@ def generate_alignments(blocks: List[Block], qry_chars: np.ndarray,
         kwargs = {} if dp_fn is None else {"dp_fn": dp_fn}
         ops_list = dp_ops.align_fragments(
             ref_frags, qry_frags, bucket_sizes=cfg.dp_buckets,
-            batch_cells=cfg.dp_batch_cells, **kwargs)
+            batch_cells=cfg.dp_batch_cells, mesh=mesh, **kwargs)
         for (bi, j), ops in zip(dp_jobs, ops_list):
             blk = blocks[bi]
             q_pos, r_pos = int(blk.q_pos[j]), int(blk.r_pos[j])

@@ -38,3 +38,31 @@ def test_sharded_seeding_matches_unsharded(setup):
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
     ge.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_pipeline_mesh_byte_identical(tmp_path):
+    """compare_genomes on the 8-device mesh produces byte-identical MAF/VCF
+    to the single-device run (deterministic merge order regardless of
+    topology)."""
+    from gsalign_tpu.config import AlignConfig
+    from gsalign_tpu.pipeline.align import compare_genomes
+    from tests.make_testdata import make_pair
+    ref, qry = make_pair(total_len=120_000, n_chr=2, seed=77)
+    from gsalign_tpu.genome.packing import pack_genome
+    fm = build_fmindex(pack_genome(ref))
+    cfg = AlignConfig()
+    p1 = str(tmp_path / "one")
+    p8 = str(tmp_path / "eight")
+    compare_genomes(fm, qry, cfg, output_prefix=p1, verbose=False)
+    mesh = mesh_lib.make_mesh(jax.devices()[:8])
+    compare_genomes(fm, qry, cfg, output_prefix=p8, verbose=False, mesh=mesh)
+    def _strip_ref_line(b):
+        return b"\n".join(ln for ln in b.split(b"\n")
+                          if not ln.startswith(b"##reference"))
+
+    for ext in (".maf", ".vcf"):
+        with open(p1 + ext, "rb") as fh:
+            one = _strip_ref_line(fh.read())
+        with open(p8 + ext, "rb") as fh:
+            eight = _strip_ref_line(fh.read())
+        assert one == eight, f"{ext} differs between 1-dev and 8-dev"
