@@ -42,12 +42,13 @@ def fragpair_mismatch(ref_chars: np.ndarray, qry_chars: np.ndarray,
 
 
 def _segment_indices(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenated [starts[i], starts[i]+lens[i]) ranges: ONE repeat of the
+    (start - flat offset) deltas plus an arange (hot path of the writers)."""
     total = int(lens.sum())
     if total == 0:
         return np.zeros(0, dtype=np.int64)
-    rep = np.repeat(starts, lens)
-    base = np.repeat(np.cumsum(lens) - lens, lens)
-    return rep + (np.arange(total, dtype=np.int64) - base)
+    adj = starts.astype(np.int64) - (np.cumsum(lens, dtype=np.int64) - lens)
+    return np.repeat(adj, lens) + np.arange(total, dtype=np.int64)
 
 
 def pair_rows(blk: Block, j: int, qry_chars: np.ndarray,

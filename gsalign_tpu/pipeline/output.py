@@ -34,8 +34,15 @@ def self_complementary(arr: np.ndarray) -> np.ndarray:
 def _build_rows(blk: Block, qry_chars: np.ndarray, ref_chars: np.ndarray):
     """Concatenate per-pair rows (src/tools.cpp:170-184): seed pairs copy the
     query characters into BOTH rows; non-seed pairs use their (possibly
-    implied) aligned rows. Vectorized: spans are copied with segmented fancy
-    indexing; only DP pairs (materialized bytes) go through a Python loop."""
+    implied) aligned rows.
+
+    Copy-then-patch formulation (the MAF writer used to dominate host time
+    rebuilding segment indices six times): ONE segmented fill builds the
+    query row over every query-consuming pair, the ref row starts as a copy
+    of it (seed pairs want query chars in both rows; equal-length pairs
+    differ only at their few mismatch columns), and the small classes —
+    direct-pair mismatches, pure-deletion ref spans, pure-insertion gap
+    spans, DP pairs — are patched on top."""
     from gsalign_tpu.pipeline.generate import _segment_indices
     n = blk.n
     has_aln = np.asarray([a is not None for a in blk.aln1])
@@ -47,28 +54,38 @@ def _build_rows(blk: Block, qry_chars: np.ndarray, ref_chars: np.ndarray):
         row_len[j] = len(blk.aln1[j])
     offs = np.concatenate([[0], np.cumsum(row_len)])
     total = int(offs[-1])
-    a1 = np.full(total, _GAP, dtype=np.uint8)
-    a2 = np.full(total, _GAP, dtype=np.uint8)
-
-    def fill(mask, row, src_chars, src_pos):
-        idxm = np.nonzero(mask)[0]
-        if idxm.size == 0:
-            return
-        lens = row_len[idxm]
-        dst = _segment_indices(offs[idxm], lens)
-        src = _segment_indices(src_pos[idxm], lens)
-        row[dst] = src_chars[src]
 
     seeds = blk.b_seed
     direct = (~seeds) & ~has_aln & (blk.q_len == blk.r_len) & (blk.q_len > 0)
     gap_r = (~seeds) & ~has_aln & (blk.q_len == 0)
     gap_q = (~seeds) & ~has_aln & (blk.r_len == 0) & (blk.q_len > 0)
-    fill(seeds, a1, qry_chars, blk.q_pos)      # seeds: QUERY chars, both rows
-    fill(seeds, a2, qry_chars, blk.q_pos)
-    fill(direct, a1, ref_chars, blk.r_pos)
-    fill(direct, a2, qry_chars, blk.q_pos)
-    fill(gap_r, a1, ref_chars, blk.r_pos)      # a2 stays '-'
-    fill(gap_q, a2, qry_chars, blk.q_pos)      # a1 stays '-'
+
+    # one segmented fill: query chars for every query-consuming pair
+    a2 = np.full(total, _GAP, dtype=np.uint8)
+    qcons = np.nonzero(seeds | direct | gap_q)[0]
+    if qcons.size:
+        lens = row_len[qcons]
+        dst = _segment_indices(offs[qcons], lens)
+        a2[dst] = qry_chars[_segment_indices(blk.q_pos[qcons], lens)]
+    a1 = a2.copy()
+
+    didx = np.nonzero(direct)[0]
+    if didx.size:                      # patch ref-row mismatch columns
+        lens = row_len[didx]
+        dstd = _segment_indices(offs[didx], lens)
+        rid = _segment_indices(blk.r_pos[didx], lens)
+        rch = ref_chars[rid]
+        diff = rch != a1[dstd]
+        a1[dstd[diff]] = rch[diff]
+    ridx = np.nonzero(gap_r)[0]
+    if ridx.size:                      # deletions: ref chars, a2 stays '-'
+        lens = row_len[ridx]
+        a1[_segment_indices(offs[ridx], lens)] = \
+            ref_chars[_segment_indices(blk.r_pos[ridx], lens)]
+    qidx = np.nonzero(gap_q)[0]
+    if qidx.size:                      # insertions: a1 must be gaps
+        lens = row_len[qidx]
+        a1[_segment_indices(offs[qidx], lens)] = _GAP
     for j in dp_idx:
         o = int(offs[j])
         a1[o:o + row_len[j]] = blk.aln1[j]

@@ -78,6 +78,27 @@ class VariantCollector:
         else:
             self.n_snv += 1
 
+    def merge_from(self, other: "VariantCollector") -> None:
+        """Append another (finalized) collector, offsetting its sequence
+        numbers so the merged emission order equals running the inputs
+        back to back (the distributed per-chromosome merge)."""
+        off = self._seq
+        self.snv_chr += other.snv_chr
+        self.snv_rpos += other.snv_rpos
+        self.snv_ref += other.snv_ref
+        self.snv_alt += other.snv_alt
+        self.snv_seq += [s + off for s in other.snv_seq]
+        self.snv_pos += other.snv_pos
+        self.other += [(c, r, rf, af, t, s + off)
+                       for c, r, rf, af, t, s in other.other]
+        self.other_pos += other.other_pos
+        self.n_snv += other.n_snv
+        self.n_ins += other.n_ins
+        self.n_del += other.n_del
+        self._seq += other._seq
+        self._finalized_snv = len(self.snv_rpos)
+        self._finalized_other = len(self.other)
+
     def finalize(self, chr_index: ChrLocIndex):
         while self._finalized_snv < len(self.snv_rpos):
             i = self._finalized_snv
@@ -237,7 +258,33 @@ def _walk_alignment(a1: np.ndarray, a2: np.ndarray, q_pos0: int, r_pos0: int,
 def write_vcf(path: str, collector: VariantCollector, names: List[str],
               lengths: np.ndarray, reference_name: str,
               version_str: str = "1.0.22") -> None:
-    """OutputSequenceVariants (src/SeqVariant.cpp:121-143)."""
+    """OutputSequenceVariants (src/SeqVariant.cpp:121-143).
+
+    Columnar emission: the (chr, pos, seq) sort runs as one lexsort over
+    the collector's arrays and SNV lines are assembled from pre-decoded
+    character strings — no per-variant row materialization (the former
+    `collector.variants` walk dominated host time at 100 Mb scale)."""
+    c = collector
+    if c.snv_rpos:
+        s_chr = np.concatenate(c.snv_chr).astype(np.int64)
+        s_pos = np.concatenate(c.snv_pos)
+        s_seq = np.concatenate(c.snv_seq)
+        s_ref = np.concatenate(c.snv_ref)
+        s_alt = np.concatenate(c.snv_alt)
+    else:
+        s_chr = s_pos = s_seq = np.zeros(0, dtype=np.int64)
+        s_ref = s_alt = np.zeros(0, dtype=np.uint8)
+    n_snv = len(s_chr)
+    o_chr = np.asarray([o[0] for o in c.other], dtype=np.int64)
+    o_pos = np.asarray(c.other_pos, dtype=np.int64)
+    o_seq = np.asarray([o[5] for o in c.other], dtype=np.int64)
+    all_chr = np.concatenate([s_chr, o_chr])
+    all_pos = np.concatenate([s_pos, o_pos])
+    all_seq = np.concatenate([s_seq, o_seq])
+    order = np.lexsort((all_seq, all_pos, all_chr))
+
+    ref_str = s_ref.tobytes().decode("latin1")
+    alt_str = s_alt.tobytes().decode("latin1")
     mut_type = {TYPE_SNV: "SUBSTITUTE", TYPE_INS: "INSERT", TYPE_DEL: "DELETE"}
     with open(path, "w") as fh:
         fh.write("##fileformat=VCFv4.1\n")
@@ -248,7 +295,17 @@ def write_vcf(path: str, collector: VariantCollector, names: List[str],
         for i, name in enumerate(names):
             fh.write(f"##contig=<ID={name},length={int(lengths[i])}>\n")
         fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
-        for chr_idx, pos, rf, af, typ, _ in collector.variants:
-            fh.write(f"{names[chr_idx]}\t{pos}\t.\t"
-                     f"{rf.decode('ascii')}\t{af.decode('ascii')}\t100\t*\t"
-                     f"TYPE={mut_type[typ]}\n")
+        chr_l = all_chr.tolist()
+        pos_l = all_pos.tolist()
+        lines = []
+        for i in order.tolist():
+            if i < n_snv:
+                lines.append(f"{names[chr_l[i]]}\t{pos_l[i]}\t.\t"
+                             f"{ref_str[i]}\t{alt_str[i]}\t100\t*\t"
+                             f"TYPE=SUBSTITUTE\n")
+            else:
+                _, _, rf, af, typ, _ = c.other[i - n_snv]
+                lines.append(f"{names[chr_l[i]]}\t{pos_l[i]}\t.\t"
+                             f"{rf.decode('ascii')}\t{af.decode('ascii')}\t"
+                             f"100\t*\tTYPE={mut_type[typ]}\n")
+        fh.write("".join(lines))
