@@ -65,7 +65,8 @@ def compare_genomes(fm: FMIndex,
                     output_prefix: Optional[str] = None,
                     verbose: bool = True,
                     dp_fn=None,
-                    mesh=None):
+                    mesh=None,
+                    write_vcf_file: bool = True):
     """Run the full comparison. query_records: [(name, ascii uint8[]), ...].
 
     With a mesh (jax.sharding.Mesh over the "frag" axis), the two batched
@@ -211,7 +212,7 @@ def compare_genomes(fm: FMIndex,
     log(f"\tIt took {int(time.time() - t0)} seconds for genome sequence "
         f"alignment.", verbose)
 
-    if cfg.emit_vcf and output_prefix:
+    if cfg.emit_vcf and output_prefix and write_vcf_file:
         log(f"\nGSAlign identifies {collector.n_snv} SNVs, "
             f"{collector.n_ins} insertions, and {collector.n_del} deletions "
             f"[{output_prefix}.vcf].", verbose)
