@@ -30,6 +30,7 @@ Options: -t     INT     number of threads [{cfg.thread_num}]
          -ind   INT     Set the maximal indel size [{cfg.max_indel_size}]
          -clr   INT     Set the minimal cluster size [{cfg.min_aln_block_score}]
          -unique        Output unique alignment only [false]
+         -resume        Restartable run (skip per-chromosome shards already committed)
          -sen           Sensitive mode [False]
          -dp            Output Dot-plots
          -one           set one on one alignment mode[false]
@@ -71,6 +72,7 @@ def main(argv=None) -> int:
 
     index_prefix = ref_file = query_file = None
     output_prefix = "output"
+    resume = False
     updates = {}
     i = 0
     while i < len(args):
@@ -105,6 +107,8 @@ def main(argv=None) -> int:
             updates["max_indel_size"] = v
         elif a in ("-sen", "-sensitive"):
             updates["sensitive"] = True
+        elif a == "-resume":
+            resume = True
         elif a == "-unique":
             updates["allow_duplication"] = False
         elif a == "-no_vcf":
@@ -179,13 +183,20 @@ def main(argv=None) -> int:
 
     mesh = None
     import jax
-    if len(jax.devices()) > 1:
+    if len(jax.local_devices()) > 1:
         # multi-chip host: shard seeding lanes + DP problems over all
         # local devices (outputs are bit-identical for any device count)
         from gsalign_tpu.parallel import mesh as mesh_lib
-        mesh = mesh_lib.make_mesh()
-    compare_genomes(fm, query_records, cfg, output_prefix=output_prefix,
-                    mesh=mesh)
+        mesh = mesh_lib.make_mesh(jax.local_devices())
+    if resume or jax.process_count() > 1:
+        # restartable / multi-host path: per-chromosome shards with
+        # atomic commit markers, deterministic merge (parallel/distributed)
+        from gsalign_tpu.parallel.distributed import run_distributed
+        run_distributed(fm, query_records, cfg, output_prefix,
+                        mesh=mesh, resume=resume)
+    else:
+        compare_genomes(fm, query_records, cfg, output_prefix=output_prefix,
+                        mesh=mesh)
     return 0
 
 

@@ -36,7 +36,8 @@ def _barrier(name: str) -> None:
 
 
 def run_distributed(fm, query_records: List, cfg, output_prefix: str,
-                    verbose: bool = True, mesh=None, dp_fn=None):
+                    verbose: bool = True, mesh=None, dp_fn=None,
+                    resume: bool = False):
     """Distributed compare_genomes: returns (stats, collector, results)
     on process 0 and (local stats, None, local results) elsewhere.
 
@@ -45,6 +46,13 @@ def run_distributed(fm, query_records: List, cfg, output_prefix: str,
     chromosome order, reproducing the single-host emission order exactly
     (variant sequence numbers are offset per shard, see
     VariantCollector.merge_from).
+
+    resume=True makes the run restartable (the per-fragment resumability
+    the reference lacks — its appended outputs are corrupt after a crash,
+    src/tools.cpp:158-163): each chromosome's shard is committed by an
+    atomic rename of its .pkl marker AFTER the output shard is complete,
+    so a restart recomputes only chromosomes without a marker and the
+    final merge is byte-identical to an uninterrupted run.
     """
     import jax
     from gsalign_tpu.pipeline.align import RunStats, compare_genomes
@@ -58,15 +66,27 @@ def run_distributed(fm, query_records: List, cfg, output_prefix: str,
 
     my_results = []
     my_stats = RunStats()
+    ext0 = ".maf" if cfg.effective().output_format == 1 else ".aln"
     owned = [ci for ci in range(len(query_records)) if ci % nproc == pid]
     for ci in owned:
         part = f"{output_prefix}.part{ci}"
-        st, coll, res = compare_genomes(
-            fm, [query_records[ci]], cfg, output_prefix=part,
-            verbose=verbose, mesh=mesh, dp_fn=dp_fn,
-            write_vcf_file=False)
-        with open(part + ".pkl", "wb") as fh:
-            pickle.dump((st, coll), fh)
+        done = False
+        if resume and os.path.exists(part + ".pkl"):
+            with open(part + ".pkl", "rb") as fh:
+                st, _ = pickle.load(fh)
+            # the marker commits AFTER the shard: presence of the .pkl
+            # guarantees the shard (absent only for 0-alignment chromosomes)
+            done = os.path.exists(part + ext0) or st.local_alignment_num == 0
+        if done:
+            res = []
+        else:
+            st, coll, res = compare_genomes(
+                fm, [query_records[ci]], cfg, output_prefix=part,
+                verbose=verbose, mesh=mesh, dp_fn=dp_fn,
+                write_vcf_file=False)
+            with open(part + ".pkl.tmp", "wb") as fh:
+                pickle.dump((st, coll), fh)
+            os.replace(part + ".pkl.tmp", part + ".pkl")   # commit marker
         my_results.extend(res)
         my_stats.local_alignment_num += st.local_alignment_num
         my_stats.total_alignment_length += st.total_alignment_length

@@ -66,6 +66,6 @@ def test_dp_matches_reference_ksw2_oracle():
 def test_pallas_dp_matches_oracle_interpret():
     from gsalign_tpu.ops.dp_pallas import make_dp_fn
     cases, outs = load_cases()
-    rows = run_batch(cases[:24], make_dp_fn(TB=8, interpret=True), 256)
+    rows = run_batch(cases[:24], make_dp_fn(interpret=True), 256)
     for i, ((e1, e2), (g1, g2)) in enumerate(zip(outs[:24], rows)):
         assert g1 == e1 and g2 == e2, f"case {i}"
