@@ -68,27 +68,27 @@ def _dp_fwd_kernel(q_ref, t_ref, ql_ref, tl_ref, d_ref,
     t_idx = jax.lax.broadcasted_iota(i32, (L, TB), 0)
 
     def row_body(k, _):
-        r = rc * RC + k                 # global wavefront index (scalar)
+        r = rc.astype(i32) * i32(RC) + k   # global wavefront index (scalar)
         u = u_ref[:]
         v = v_ref[:]
         x = x_ref[:]
         y = y_ref[:]
-        st0 = jnp.maximum(0, r - ql + 1)[None, :]          # [1, TB]
-        en0 = jnp.minimum(r, tl - 1)[None, :]
+        st0 = jnp.maximum(i32(0), r - ql + i32(1))[None, :]   # [1, TB]
+        en0 = jnp.minimum(r, tl - i32(1))[None, :]
 
         # boundary pre-sets at t == r (top DP row), masked per problem
-        in_top = r <= tl[None, :] - 1
+        in_top = r <= tl[None, :] - i32(1)
         at_r = t_idx == r
-        top_val = jnp.where(r > 0, i32(GAP_OPEN), i32(0))
+        top_val = jnp.where(r > i32(0), i32(GAP_OPEN), i32(0))
         u = jnp.where(in_top & at_r, top_val, u)
-        y = jnp.where(in_top & at_r, 0, y)
+        y = jnp.where(in_top & at_r, i32(0), y)
 
         # s[t] = score(T[t], Q[r-t]) via the reversed-query window
-        start = 2 * L - 1 - r
+        start = i32(2 * L - 1) - r
         qrr = q_ref[pl.ds(start, L), :]                    # [L, TB]
         is_wild = (t_codes >= WILDCARD) | (qrr >= WILDCARD)
-        s = jnp.where(is_wild, 0,
-                      jnp.where(t_codes == qrr, MATCH, MISMATCH)).astype(i32)
+        s = jnp.where(is_wild, i32(0),
+                      jnp.where(t_codes == qrr, i32(MATCH), i32(MISMATCH)))
 
         # shifted previous-row values (t-1 lives one sublane up)
         x1 = jnp.zeros((1, TB), i32)
@@ -96,38 +96,39 @@ def _dp_fwd_kernel(q_ref, t_ref, ql_ref, tl_ref, d_ref,
         xt1 = jnp.concatenate([x1, x[:-1, :]], axis=0)
         vt1 = jnp.concatenate([v1, v[:-1, :]], axis=0)
 
-        z = s + QE2
+        z = s + i32(QE2)
         a = xt1 + vt1
         b_ = y + u
         # direction bits stay int32 in-register; the store narrows to int8
         # (Mosaic's int32->uint8 convert lowers into an infinite
         # _convert_helper recursion on this toolchain; int8 works)
-        d = jnp.where(a > z, 1, 0)
+        d = jnp.where(a > z, i32(1), i32(0))
         z = jnp.maximum(z, a)
-        d = jnp.where(b_ > z, 2, d)
+        d = jnp.where(b_ > z, i32(2), d)
         z = jnp.maximum(z, b_)
-        z = jnp.minimum(z, MAX_SC)
+        z = jnp.minimum(z, i32(MAX_SC))
         u_new = z - vt1
         v_new = z - u
-        z2 = z - GAP_OPEN
+        z2 = z - i32(GAP_OPEN)
         a2 = a - z2
         b2 = b_ - z2
-        x_new = jnp.maximum(a2, 0)
-        y_new = jnp.maximum(b2, 0)
-        d = d | jnp.where(a2 > 0, 8, 0)
-        d = d | jnp.where(b2 > 0, 0x10, 0)
+        x_new = jnp.maximum(a2, i32(0))
+        y_new = jnp.maximum(b2, i32(0))
+        d = d | jnp.where(a2 > 0, i32(8), i32(0))
+        d = d | jnp.where(b2 > 0, i32(0x10), i32(0))
 
         in_band = (t_idx >= st0) & (t_idx <= en0)
         u_ref[:] = jnp.where(in_band, u_new, u)
         v_ref[:] = jnp.where(in_band, v_new, v)
         x_ref[:] = jnp.where(in_band, x_new, x)
         y_ref[:] = jnp.where(in_band, y_new, y)
-        d_ref[0, k] = jnp.where(in_band, d, 0).astype(jnp.int8)
-        return 0
+        d_ref[0, k] = jnp.where(in_band, d, i32(0)).astype(jnp.int8)
+        return i32(0)
 
-    # wavefront r = 0 needs the r-dependent scalars resolved per k, so the
-    # loop body closes over k via fori_loop's induction variable
-    jax.lax.fori_loop(0, RC, row_body, 0, unroll=False)
+    # int32 loop bounds: under the repo-global x64 mode a default fori_loop
+    # carries an int64 induction variable, and int64 inside the kernel sends
+    # Mosaic's convert_element_type lowering into infinite recursion
+    jax.lax.fori_loop(i32(0), i32(RC), row_body, i32(0), unroll=False)
 
 
 def _fwd_kernel_fixed(q_ref, t_ref, ql_ref, tl_ref, d_ref,
@@ -169,17 +170,21 @@ def dp_align_batch_pallas(q_codes, t_codes, ql, tl, L: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(B // TB, n_rc),
+        # index maps derive every constant from the grid index: under the
+        # repo-global x64 mode a literal 0 traces as i64 and the mixed
+        # (i64, i32) index-map return crashes the remote Mosaic compiler
         in_specs=[
-            pl.BlockSpec((3 * L, TB), lambda i, r: (0, i),
+            pl.BlockSpec((3 * L, TB), lambda i, r: (i * 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, TB), lambda i, r: (0, i),
+            pl.BlockSpec((L, TB), lambda i, r: (i * 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TB), lambda i, r: (0, i),
+            pl.BlockSpec((1, TB), lambda i, r: (i * 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TB), lambda i, r: (0, i),
+            pl.BlockSpec((1, TB), lambda i, r: (i * 0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, RC, L, TB), lambda i, r: (i, r, 0, 0),
+        out_specs=pl.BlockSpec((1, RC, L, TB),
+                               lambda i, r: (i, r, i * 0, i * 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((L, TB), jnp.int32),

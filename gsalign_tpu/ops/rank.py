@@ -30,7 +30,7 @@ T3_ROW_WIDE = 100  # wide rows add 4 carry words (2 bits/class: cp bits 32-33)
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["union", "t3", "l2", "sa_samples", "c64",
-                      "t3_exc_pos", "t3_exc_chr"],
+                      "t3_exc_pos", "t3_exc_chr", "lut"],
          meta_fields=["seq_len", "primary", "sa_intv", "wide"])
 @dataclasses.dataclass(frozen=True)
 class DeviceFMIndex:
@@ -52,6 +52,14 @@ class DeviceFMIndex:
     c64: jnp.ndarray          # rdtype [65]
     t3_exc_pos: jnp.ndarray   # rdtype [3]
     t3_exc_chr: jnp.ndarray   # int32 [3]
+    # Fused interval/base LUT for the seeding loop: ONE [B,2] gather serves
+    # what were five small-table lookups per iteration (each XLA gather op
+    # pays a fixed dispatch cost that dominates small-batch seeding):
+    #  rows   0..63   triple INIT  (C64[g], C64[g+1]-C64[g])
+    #  rows  64..67   single INIT by query base c (L2[3-c]+1, L2[c+1]-L2[c])
+    #  rows  68..131  triple EXT base (C64[g], 0)
+    #  rows 132..135  single EXT base by class c (L2[c]+1, 0)
+    lut: jnp.ndarray          # rdtype [136, 2]
     seq_len: int
     primary: int
     sa_intv: int
@@ -92,6 +100,15 @@ class DeviceFMIndex:
             rows3[:, :64] = fm.t3_cp.astype(np.int32).view(
                 np.uint32).reshape(n3, 64)
             rows3[:, 64:] = fm.t3_packed.reshape(n3, 32)
+        lut = np.zeros((136, 2), dtype=np.int64)
+        c64 = np.asarray(fm.c64, dtype=np.int64)
+        l2 = np.asarray(fm.l2, dtype=np.int64)
+        lut[0:64, 0] = c64[:64]
+        lut[0:64, 1] = c64[1:65] - c64[:64]
+        for c in range(4):
+            lut[64 + c] = (l2[3 - c] + 1, l2[c + 1] - l2[c])
+            lut[132 + c, 0] = l2[c] + 1
+        lut[68:132, 0] = c64[:64]
         rdt = jnp.int64 if wide else jnp.int32
         dfm = DeviceFMIndex(
             union=jnp.asarray(union),
@@ -101,6 +118,7 @@ class DeviceFMIndex:
             c64=jnp.asarray(fm.c64, dtype=rdt),
             t3_exc_pos=jnp.asarray(fm.t3_exc_pos, dtype=rdt),
             t3_exc_chr=jnp.asarray(fm.t3_exc_chr, dtype=jnp.int32),
+            lut=jnp.asarray(lut, dtype=rdt),
             seq_len=int(fm.seq_len),
             primary=int(fm.primary),
             sa_intv=int(fm.sa_intv),

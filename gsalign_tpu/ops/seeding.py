@@ -74,8 +74,7 @@ def _seed_scan(dfm: DeviceFMIndex,
         ext_pos=jnp.zeros(B, i32),
         ik1=jnp.zeros(B, rdt), ik2=jnp.zeros(B, rdt),
         tri_failed=jnp.zeros(B, jnp.bool_),
-        out=jnp.zeros((B, max_out, 3), i32),     # (qPos, len, freq)
-        out_k0=jnp.zeros((B, max_out), rdt),     # rank-space interval start
+        out=jnp.zeros((B, max_out, 4), rdt),     # (qPos, len, freq, k0)
         out_n=jnp.zeros(B, i32),
     )
 
@@ -108,30 +107,35 @@ def _seed_scan(dfm: DeviceFMIndex,
 
         # ---- INIT step ----
         init_amb = b1 > 3
-        n_ik1 = dfm.l2[3 - b1c] + 1
-        n_ik2 = dfm.l2[b1c + 1] - dfm.l2[b1c]
         # triple INIT: the interval of the first three appended bases is a
         # direct C64 range (rows whose suffix starts with the RC triple)
         init_can3 = in_init & ~init_amb & real3 & (cursor + 2 < ext_stops)
-        i3_lo = dfm.c64[cls3]
-        i3_sz = dfm.c64[cls3 + 1] - i3_lo
-        # a dead triple INIT can only be a miss (len < 4 <= min_seed): same
-        # outcome as the single-step path, cursor advances by one
-        init3_dead = init_can3 & (i3_sz == 0)
-        start_ext3 = init_can3 & ~init3_dead
-        start_ext1 = in_init & ~init_amb & ~init_can3
 
         # ---- EXT step: triple (3 bases) when possible, else single ----
         can3 = in_ext & (ext_pos + 2 < ext_stops) & real3 & ~tri_failed
         cls = jnp.where(can3, cls3, 3 - b1c)
+
+        # ONE fused LUT gather serves the INIT intervals and the EXT bases
+        # (see DeviceFMIndex.lut): (lo, sz) per lane by mode
+        lut_idx = jnp.where(
+            in_ext,
+            jnp.where(can3, 68 + cls3, 132 + (3 - b1c)),
+            jnp.where(init_can3, cls3, 64 + b1c))
+        ent = dfm.lut[lut_idx]                 # [B, 2] rdtype
+        lo, sz = ent[:, 0], ent[:, 1]
+
+        # a dead triple INIT can only be a miss (len < 4 <= min_seed): same
+        # outcome as the single-step path, cursor advances by one
+        init3_dead = init_can3 & (sz == 0)
+        start_ext3 = init_can3 & ~init3_dead
+        start_ext1 = in_init & ~init_amb & ~init_can3
+
         cnt = rank_ops.occ_t3(
             dfm, jnp.concatenate([ik1, ik1 + ik2]),
             jnp.concatenate([can3, can3]),
             jnp.concatenate([cls, cls]))
         tk, tl = cnt[:B], cnt[B:]
-        base = jnp.where(can3, dfm.c64[jnp.clip(cls, 0, 63)],
-                         dfm.l2[jnp.clip(cls, 0, 3)] + 1)
-        e_ik1 = base + tk
+        e_ik1 = lo + tk
         e_ik2 = tl - tk
 
         # single-path termination (only reachable when can3 is False)
@@ -147,7 +151,6 @@ def _seed_scan(dfm: DeviceFMIndex,
         freq = ik2
         is_hit = finalize & (length >= min_seed_length) & (freq > 0) & \
             (freq <= max_seed_freq)
-        freq32 = jnp.minimum(freq, max_seed_freq + 1).astype(i32)
         advance = jnp.where(
             is_hit,
             ext_start + (5 if sensitive else 0) +
@@ -158,14 +161,13 @@ def _seed_scan(dfm: DeviceFMIndex,
         # lanes some lane emits nearly every iteration, so no cond guard)
         slot = jnp.minimum(s["out_n"], max_out - 1)
         do_emit = is_hit & (s["out_n"] < max_out)
-        record = jnp.stack([ext_start, length, freq32], axis=1)     # [B,3]
+        record = jnp.stack([ext_start.astype(rdt), length.astype(rdt),
+                            jnp.minimum(freq, max_seed_freq + 1), ik1],
+                           axis=1)                                  # [B,4]
         rows = jnp.arange(B)
         old = s["out"][rows, slot]
         out = s["out"].at[rows, slot].set(
             jnp.where(do_emit[:, None], record, old))
-        old_k0 = s["out_k0"][rows, slot]
-        out_k0 = s["out_k0"].at[rows, slot].set(
-            jnp.where(do_emit, ik1, old_k0))
         out_n = s["out_n"] + do_emit.astype(i32)
 
         # ---- state updates ----
@@ -180,12 +182,10 @@ def _seed_scan(dfm: DeviceFMIndex,
             start_ext3, cursor + 3,
             jnp.where(start_ext1, cursor + 1,
                       jnp.where(ext_ok, ext_pos + step, ext_pos)))
-        new_ik1 = jnp.where(start_ext3, i3_lo,
-                            jnp.where(start_ext1, n_ik1,
-                                      jnp.where(ext_ok, e_ik1, ik1)))
-        new_ik2 = jnp.where(start_ext3, i3_sz,
-                            jnp.where(start_ext1, n_ik2,
-                                      jnp.where(ext_ok, e_ik2, ik2)))
+        new_ik1 = jnp.where(start_ext, lo,
+                            jnp.where(ext_ok, e_ik1, ik1))
+        new_ik2 = jnp.where(start_ext, sz,
+                            jnp.where(ext_ok, e_ik2, ik2))
         new_tf = jnp.where(start_ext | finalize, False,
                            jnp.where(tri_miss, True,
                                      jnp.where(ext_ok, False, tri_failed)))
@@ -194,12 +194,12 @@ def _seed_scan(dfm: DeviceFMIndex,
             phase=new_phase, cursor=new_cursor,
             ext_start=new_ext_start, ext_pos=new_ext_pos,
             ik1=new_ik1, ik2=new_ik2, tri_failed=new_tf,
-            out=out, out_k0=out_k0, out_n=out_n,
+            out=out, out_n=out_n,
         )
 
     final = jax.lax.while_loop(cond, body, init_state)
     o = final["out"]
-    return (o[:, :, 0], o[:, :, 1], final["out_k0"], o[:, :, 2],
+    return (o[:, :, 0], o[:, :, 1], o[:, :, 3], o[:, :, 2],
             final["out_n"], final["cursor"])
 
 

@@ -48,6 +48,7 @@ def shard_index(dfm: DeviceFMIndex, mesh: Mesh) -> DeviceFMIndex:
         c64=jax.device_put(dfm.c64, rep),
         t3_exc_pos=jax.device_put(dfm.t3_exc_pos, rep),
         t3_exc_chr=jax.device_put(dfm.t3_exc_chr, rep),
+        lut=jax.device_put(dfm.lut, rep),
         seq_len=dfm.seq_len, primary=dfm.primary, sa_intv=dfm.sa_intv,
         wide=dfm.wide,
     )
