@@ -1,15 +1,22 @@
-"""Benchmark driver. Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""Benchmark driver.
+
+Prints one JSON line per config (scale trend + kernel north stars), ending
+with the headline line:
+    {"metric": "ecoli_pair_align_wallclock", "value": N, "unit": "seconds",
+     "vs_baseline": N, ...}
 
 Headline metric: E. coli-scale (4.6 Mb) intra-species pair alignment
 wall-clock on one TPU chip, steady-state (one warm-up pass first — remote
 compile/executable-load latency in this environment is an axon-tunnel
-artifact, not device time). Baseline: the C reference (hsinnan75/GSAlign
-v1.0.22, -t 4) on the same pair on this machine's 4 CPU cores: 0.21 s
-(measured; see BASELINE.md protocol — repo publishes no numbers).
+artifact, not device time). Baselines: the C reference (hsinnan75/GSAlign
+v1.0.22, -t 4) on the same pairs on this 4-core host (see BASELINE.md;
+the repo publishes no numbers). vs_baseline = baseline_seconds / ours
+(>1 means faster than the C reference).
 
-vs_baseline = baseline_seconds / our_seconds (>1 means faster than the C
-reference).
+Configs: 4.6 Mb (E. coli scale), 12 Mb (yeast scale), and — because the
+driver's wall-clock budget is finite — 100 Mb (C. elegans scale) only when
+GSALIGN_BENCH_FULL=1. Extra rows: DP kernel Gcells/s (incl. traceback) and
+index build seconds per config (persisted across warm runs).
 """
 
 from __future__ import annotations
@@ -20,27 +27,54 @@ import sys
 import time
 
 BENCH_DIR = "/tmp/gsalign_bench"
-TOTAL_LEN = 4_600_000
-BASELINE_SECONDS = 0.21          # C reference, -t 4, same pair, this host
-EXTRA = {}
+# C reference wall-clock, -t 4, same generated pairs, this host (BASELINE.md)
+CONFIGS = [
+    ("ecoli_4.6mb", 4_600_000, 0.21),
+    ("yeast_12mb", 12_000_000, 1.09),
+]
+if os.environ.get("GSALIGN_BENCH_FULL"):
+    CONFIGS.append(("celegans_100mb", 100_000_000, 15.8))
+REPS = {"ecoli_4.6mb": 5, "yeast_12mb": 3, "celegans_100mb": 1}
 
 
-def ensure_data():
-    os.makedirs(BENCH_DIR, exist_ok=True)
-    ref_fa = os.path.join(BENCH_DIR, "ref.fa")
-    qry_fa = os.path.join(BENCH_DIR, "qry.fa")
+def ensure_data(tag: str, total_len: int):
+    d = os.path.join(BENCH_DIR, tag)
+    os.makedirs(d, exist_ok=True)
+    ref_fa = os.path.join(d, "ref.fa")
+    qry_fa = os.path.join(d, "qry.fa")
     if not (os.path.exists(ref_fa) and os.path.exists(qry_fa)):
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
         from make_testdata import make_pair, write_fasta
-        ref, qry = make_pair(total_len=TOTAL_LEN)
+        ref, qry = make_pair(total_len=total_len)
         write_fasta(ref_fa, ref)
         write_fasta(qry_fa, qry)
-    return ref_fa, qry_fa
+    return d, ref_fa, qry_fa
+
+
+def dp_gcells(dp_fn, L=128, B=2048):
+    """DP kernel microbench including traceback (north-star Gcells/s)."""
+    import numpy as np
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    q = rng.integers(0, 4, (B, L)).astype(np.int32)
+    t = q.copy()
+    m = rng.random((B, L)) < 0.05
+    t[m] = (t[m] + rng.integers(1, 4, m.sum())) % 4
+    ql = np.full(B, L, np.int32)
+    args = (jnp.asarray(q), jnp.asarray(t), jnp.asarray(ql),
+            jnp.asarray(ql), L)
+    import numpy as _np
+    _np.asarray(dp_fn(*args))       # warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        _np.asarray(dp_fn(*args))
+        best = min(best, time.time() - t0)
+    return float(B) * L * L / best / 1e9
 
 
 def main():
-    ref_fa, qry_fa = ensure_data()
-
+    import numpy as np  # noqa: F401
     import gsalign_tpu  # noqa: F401
     from gsalign_tpu.config import AlignConfig
     from gsalign_tpu.genome.fasta import read_fasta
@@ -49,46 +83,78 @@ def main():
     from gsalign_tpu.index.io import index_exists, load_index, save_index
     from gsalign_tpu.pipeline.align import compare_genomes
 
-    idx_prefix = os.path.join(BENCH_DIR, "ref_idx")
-    if index_exists(idx_prefix):
-        fm = load_index(idx_prefix)
-    else:
-        t0 = time.time()
-        fm = build_fmindex(pack_genome(read_fasta(ref_fa)))
-        EXTRA["index_build_seconds"] = round(time.time() - t0, 3)
-        save_index(fm, idx_prefix)
-    qry_records = read_fasta(qry_fa)
-    cfg = AlignConfig()
+    lines = []
+    headline = None
+    for tag, total_len, baseline_s in CONFIGS:
+        d, ref_fa, qry_fa = ensure_data(tag, total_len)
+        idx_prefix = os.path.join(d, "ref_idx")
+        build_marker = os.path.join(d, "build_seconds.json")
+        if index_exists(idx_prefix):
+            fm = load_index(idx_prefix)
+            build_s = None
+            if os.path.exists(build_marker):
+                with open(build_marker) as fh:
+                    build_s = json.load(fh)["seconds"]
+        else:
+            t0 = time.time()
+            fm = build_fmindex(pack_genome(read_fasta(ref_fa)))
+            build_s = round(time.time() - t0, 3)
+            save_index(fm, idx_prefix)
+            with open(build_marker, "w") as fh:
+                json.dump({"seconds": build_s}, fh)
+        qry_records = read_fasta(qry_fa)
+        cfg = AlignConfig()
+        out = os.path.join(d, "bench_out")
 
-    out = os.path.join(BENCH_DIR, "bench_out")
-    # warm-up: compile + load executables
-    stats, _, _ = compare_genomes(fm, qry_records, cfg, output_prefix=out,
-                                  verbose=False)
-    assert stats.local_alignment_num > 0
+        stats, _, _ = compare_genomes(fm, qry_records, cfg,
+                                      output_prefix=out, verbose=False)
+        assert stats.local_alignment_num > 0
+        best = float("inf")
+        for _ in range(REPS.get(tag, 3)):
+            t0 = time.time()
+            stats, collector, _ = compare_genomes(
+                fm, qry_records, cfg, output_prefix=out, verbose=False)
+            best = min(best, time.time() - t0)
 
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.time()
-        stats, collector, _ = compare_genomes(fm, qry_records, cfg,
-                                              output_prefix=out, verbose=False)
-        best = min(best, time.time() - t0)
+        row = {
+            "metric": f"{tag}_align_wallclock",
+            "value": round(best, 3),
+            "unit": "seconds",
+            "vs_baseline": round(baseline_s / best, 4),
+            "aligned_bp_per_s": round(stats.total_alignment_length / best),
+            "ani_pct": round(stats.ani, 2),
+            "alignments": stats.local_alignment_num,
+            "snv": collector.n_snv,
+            "ins": collector.n_ins,
+            "dele": collector.n_del,
+            "index_build_seconds": build_s,
+            "stage_seconds": {k: round(v, 3)
+                              for k, v in stats.stage_times.items()},
+        }
+        lines.append(row)
+        if tag == "ecoli_4.6mb":
+            headline = dict(row)
+            headline["metric"] = "ecoli_pair_align_wallclock"
 
-    bps = stats.total_alignment_length / best
-    result = {
-        "metric": "ecoli_pair_align_wallclock",
-        "value": round(best, 3),
-        "unit": "seconds",
-        "vs_baseline": round(BASELINE_SECONDS / best, 4),
-        "aligned_bp_per_s": round(bps),
-        "ani_pct": round(stats.ani, 2),
-        "alignments": stats.local_alignment_num,
-        "aligned_bp": stats.total_alignment_length,
-        "snv": collector.n_snv,
-        "ins": collector.n_ins,
-        "dele": collector.n_del,
-        **EXTRA,
-    }
-    print(json.dumps(result))
+    # DP kernel north star (scan path; Pallas path printed when available)
+    from gsalign_tpu.ops import dp as dp_ops
+    lines.append({"metric": "dp_scan_gcells_per_s",
+                  "value": round(dp_gcells(dp_ops.dp_align_batch), 3),
+                  "unit": "Gcells/s", "vs_baseline": None})
+    try:
+        from gsalign_tpu.ops import dp_pallas
+        if dp_pallas.probe():
+            lines.append({
+                "metric": "dp_pallas_gcells_per_s",
+                "value": round(dp_gcells(dp_pallas.dp_align_batch_pallas), 3),
+                "unit": "Gcells/s", "vs_baseline": None})
+    except Exception:
+        pass
+
+    for row in lines:
+        print(json.dumps(row))
+    if headline is not None:
+        print(json.dumps(headline))
 
 
 if __name__ == "__main__":

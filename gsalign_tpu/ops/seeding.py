@@ -43,13 +43,18 @@ PHASE_INIT = 0
 PHASE_EXT = 1
 
 
+POISON_NONE = 0x7FFFFFFF
+
+
 @partial(jax.jit, static_argnames=("min_seed_length", "max_seed_freq",
                                    "sensitive", "max_out"))
 def _seed_scan(dfm: DeviceFMIndex,
                qcodes: jnp.ndarray,      # uint8/int32 [Lpad] (pad value 4)
                starts: jnp.ndarray,      # int32 [B]
                emit_stops: jnp.ndarray,  # int32 [B] stop recording starts here
-               ext_stops: jnp.ndarray,   # int32 [B] extension clip (chunk end)
+               ext_stops: jnp.ndarray,   # int32 [B] extension clip (may be
+                                         # an artificial seg_end+slack bound)
+               hard_stops: jnp.ndarray,  # int32 [B] the REAL chunk end
                min_seed_length: int,
                max_seed_freq: int,
                sensitive: bool,
@@ -76,6 +81,7 @@ def _seed_scan(dfm: DeviceFMIndex,
         tri_failed=jnp.zeros(B, jnp.bool_),
         out=jnp.zeros((B, max_out, 4), rdt),     # (qPos, len, freq, k0)
         out_n=jnp.zeros(B, i32),
+        poison=jnp.full(B, POISON_NONE, i32),
     )
 
     def lane_done(s):
@@ -89,6 +95,7 @@ def _seed_scan(dfm: DeviceFMIndex,
         ext_start, ext_pos = s["ext_start"], s["ext_pos"]
         ik1, ik2 = s["ik1"], s["ik2"]
         tri_failed = s["tri_failed"]
+        poison = s["poison"]
 
         in_init = (phase == PHASE_INIT) & (cursor < emit_stops)
         in_ext = phase == PHASE_EXT
@@ -143,6 +150,11 @@ def _seed_scan(dfm: DeviceFMIndex,
         hit_amb = b1 > 3
         dead_end = (e_ik2 == 0) & ~can3
         finalize = in_ext & (hit_boundary | hit_amb | dead_end)
+        # an extension clipped by an ARTIFICIAL boundary (speculative
+        # segment bound, not the chunk end) poisons the lane: everything
+        # from this start position on is unknowable and the lane retires
+        # (the host re-scans from the poison position with the real clip)
+        poisoned_now = finalize & hit_boundary & (ext_stops < hard_stops)
         tri_miss = in_ext & can3 & (e_ik2 == 0)
         ext_ok = in_ext & ~finalize & ~tri_miss
 
@@ -175,8 +187,12 @@ def _seed_scan(dfm: DeviceFMIndex,
         step = jnp.where(can3, 3, 1)
         new_phase = jnp.where(start_ext, PHASE_EXT,
                               jnp.where(finalize, PHASE_INIT, phase))
-        new_cursor = jnp.where(in_init & (init_amb | init3_dead), cursor + 1,
-                               jnp.where(finalize, advance, cursor))
+        new_cursor = jnp.where(
+            poisoned_now, emit_stops,
+            jnp.where(in_init & (init_amb | init3_dead), cursor + 1,
+                      jnp.where(finalize, advance, cursor)))
+        new_poison = jnp.where(poisoned_now & (poison == POISON_NONE),
+                               ext_start, poison)
         new_ext_start = jnp.where(start_ext, cursor, ext_start)
         new_ext_pos = jnp.where(
             start_ext3, cursor + 3,
@@ -194,13 +210,13 @@ def _seed_scan(dfm: DeviceFMIndex,
             phase=new_phase, cursor=new_cursor,
             ext_start=new_ext_start, ext_pos=new_ext_pos,
             ik1=new_ik1, ik2=new_ik2, tri_failed=new_tf,
-            out=out, out_n=out_n,
+            out=out, out_n=out_n, poison=new_poison,
         )
 
     final = jax.lax.while_loop(cond, body, init_state)
     o = final["out"]
     return (o[:, :, 0], o[:, :, 1], o[:, :, 3], o[:, :, 2],
-            final["out_n"], final["cursor"])
+            final["out_n"], final["cursor"], final["poison"])
 
 
 def _next_pow2(n: int, floor: int = 64) -> int:
@@ -214,7 +230,7 @@ MAX_LANES_PER_CALL = 4096   # keep single device calls well under the remote
                             # execution deadline and bound buffer memory
 
 
-def _run_scan(dfm, qc_dev, starts, emit_stops, ext_stops,
+def _run_scan(dfm, qc_dev, starts, emit_stops, ext_stops, hard_stops,
               min_seed_length, max_seed_freq, sensitive, max_out, mesh=None):
     """Launch the scan kernel with power-of-two lane padding (stable compiled
     shapes) and minimal device->host transfer (buffers trimmed to the widest
@@ -229,6 +245,7 @@ def _run_scan(dfm, qc_dev, starts, emit_stops, ext_stops,
             e = min(s + MAX_LANES_PER_CALL, B)
             pending.append((e - s, _launch_scan(
                 dfm, qc_dev, starts[s:e], emit_stops[s:e], ext_stops[s:e],
+                hard_stops[s:e],
                 min_seed_length, max_seed_freq, sensitive, max_out,
                 mesh=mesh)))
         outs = [_fetch_scan(n_real, raw, max_out) for n_real, raw in pending]
@@ -246,13 +263,15 @@ def _run_scan(dfm, qc_dev, starts, emit_stops, ext_stops,
                 np.concatenate([padw(o[2]) for o in outs]),
                 np.concatenate([padw(o[3]) for o in outs]),
                 np.concatenate([o[4] for o in outs]),
-                np.concatenate([o[5] for o in outs]))
+                np.concatenate([o[5] for o in outs]),
+                np.concatenate([o[6] for o in outs]))
     return _fetch_scan(B, _launch_scan(
-        dfm, qc_dev, starts, emit_stops, ext_stops, min_seed_length,
-        max_seed_freq, sensitive, max_out, mesh=mesh), max_out)
+        dfm, qc_dev, starts, emit_stops, ext_stops, hard_stops,
+        min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh),
+        max_out)
 
 
-def _launch_scan(dfm, qc_dev, starts, emit_stops, ext_stops,
+def _launch_scan(dfm, qc_dev, starts, emit_stops, ext_stops, hard_stops,
                  min_seed_length, max_seed_freq, sensitive, max_out,
                  mesh=None):
     """Dispatch one scan slab (async); returns the raw device arrays."""
@@ -267,33 +286,37 @@ def _launch_scan(dfm, qc_dev, starts, emit_stops, ext_stops,
         out[:B] = a
         return out   # padded lanes: start == emit_stop == 0 -> done instantly
 
-    st, em, ex = pad(starts), pad(emit_stops), pad(ext_stops)
+    st, em, ex, hd = (pad(starts), pad(emit_stops), pad(ext_stops),
+                      pad(hard_stops))
     if mesh is not None:
         from gsalign_tpu.parallel import mesh as mesh_lib
         dfm = mesh_lib.shard_index(dfm, mesh)
         st = mesh_lib.shard_lanes(st, mesh, 0)
         em = mesh_lib.shard_lanes(em, mesh, 0)
         ex = mesh_lib.shard_lanes(ex, mesh, 0)
+        hd = mesh_lib.shard_lanes(hd, mesh, 0)
     else:
-        st, em, ex = jnp.asarray(st), jnp.asarray(em), jnp.asarray(ex)
+        st, em, ex, hd = (jnp.asarray(st), jnp.asarray(em), jnp.asarray(ex),
+                          jnp.asarray(hd))
     return _seed_scan(
-        dfm, qc_dev, st, em, ex,
+        dfm, qc_dev, st, em, ex, hd,
         min_seed_length=min_seed_length, max_seed_freq=max_seed_freq,
         sensitive=sensitive, max_out=max_out)
 
 
 def _fetch_scan(B, raw, max_out):
     """Bring one slab's results to host, trimmed to the used slot width."""
-    out_q, out_len, out_k0, out_freq, out_n, exits = raw
+    out_q, out_len, out_k0, out_freq, out_n, exits, poison = raw
     n = np.asarray(out_n)[:B]
     exits = np.asarray(exits)[:B]
+    poison = np.asarray(poison)[:B]
     width = _next_pow2(int(n.max()) if B else 1, 8)
     width = min(width, max_out)
     qs = np.asarray(out_q[:, :width])[:B]
     ls = np.asarray(out_len[:, :width])[:B]
     k0 = np.asarray(out_k0[:, :width])[:B]
     fr = np.asarray(out_freq[:, :width])[:B]
-    return qs, ls, k0, fr, n, exits
+    return qs, ls, k0, fr, n, exits, poison
 
 
 def find_seeds_all(dfm: DeviceFMIndex,
@@ -303,19 +326,23 @@ def find_seeds_all(dfm: DeviceFMIndex,
                    sensitive: bool = False,
                    chunk: int = 10000,
                    n_segments: int = 1,
+                   slack: int = 600,
                    mesh=None):
     """Seed ALL query chromosomes, exactly reproducing the reference's
     per-chunk sequential scan, with speculative segment parallelism.
 
     Each 10 kb chunk is cut into n_segments segments scanned concurrently
-    from their segment starts (extensions still clip at the CHUNK end, so
-    hit lengths are exact). The true trajectory's entry into each segment is
-    then reconciled on the host: a scan position e is "visited" by the
-    speculative lane iff no recorded hit jumped over it, in which case the
-    lane's hit suffix from e onward IS the true trajectory (trajectories are
-    deterministic functions of position). Unsynced segments — rare, since
-    trajectories re-synchronize at the first variant after entry — are
-    re-scanned from their exact entry in a follow-up device round.
+    from their segment starts, with extensions clipped at seg_end + slack
+    instead of the chunk end: an extension that would cross the artificial
+    bound POISONS its lane from that start position (results beyond it are
+    unknowable — a clipped extension can flip hit/miss), and the host
+    re-scans from the poison position with the real chunk-end clip. The
+    true trajectory's entry into each segment is reconciled on the host: a
+    scan position e is "visited" by the speculative lane iff no recorded
+    hit jumped over it, in which case the lane's hit suffix from e up to
+    its poison IS the true trajectory (trajectories are deterministic
+    functions of position). Unsynced or poisoned spans — rare — are
+    re-scanned from their exact entry in follow-up device rounds.
 
     Returns [(q_pos, r_pos, length), ...] per chromosome, each sorted by
     (PosDiff, qPos), identical to the reference scan.
@@ -346,28 +373,31 @@ def find_seeds_all(dfm: DeviceFMIndex,
     max_out = seg_len // (5 if sensitive else (min_seed_length + 1)) + 2
 
     # --- round 1: speculative lanes at every segment start ---
-    lane_starts, lane_emit, lane_ext, lane_key = [], [], [], []
+    lane_starts, lane_emit, lane_ext, lane_hard, lane_key = [], [], [], [], []
     for ci, (cs, ce) in enumerate(chunk_bounds):
         k = 0
         p = cs
         while p < ce:
             lane_starts.append(p)
             lane_emit.append(min(p + seg_len, ce))
-            lane_ext.append(ce)
+            lane_ext.append(min(p + seg_len + slack, ce)
+                            if n_segments > 1 else ce)
+            lane_hard.append(ce)
             lane_key.append((ci, k))
             p += seg_len
             k += 1
     lanes = {}
-    qs, ls, k0, fr, n, exits = _run_scan(
+    qs, ls, k0, fr, n, exits, poi = _run_scan(
         dfm, qc_dev, np.asarray(lane_starts, np.int32),
         np.asarray(lane_emit, np.int32), np.asarray(lane_ext, np.int32),
+        np.asarray(lane_hard, np.int32),
         min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh)
     for i, key in enumerate(lane_key):
         m = n[i]
         starts_i = qs[i, :m]
         adv = starts_i + (stride if stride else ls[i, :m] + 1)
         lanes[key] = (int(lane_starts[i]), starts_i, ls[i, :m], k0[i, :m],
-                      fr[i, :m], adv, int(exits[i]))
+                      fr[i, :m], adv, int(exits[i]), int(poi[i]))
 
     # --- reconciliation (+ fixup rounds) ---
     hits_q, hits_l, hits_k0, hits_fr = [], [], [], []
@@ -384,10 +414,12 @@ def find_seeds_all(dfm: DeviceFMIndex,
             while e < ce:
                 k = (e - cs) // seg_len
                 lane = lanes.get((ci, k))
-                lane_start = lane[0]
-                if lane_start > e:
-                    # a fixup lane exists but for a later position: stale
-                    lane = None
+                if lane is not None:
+                    lane_start, lane_poison = lane[0], lane[7]
+                    if lane_start > e or e >= lane_poison:
+                        # stale fixup lane, or entry already in the
+                        # poisoned (unknowable) span
+                        lane = None
                 if lane is None or (lane_start < e and not _visited(lane, e)):
                     fixups.append((ci, k, e,
                                    min(cs + (k + 1) * seg_len, ce), ce))
@@ -395,11 +427,19 @@ def find_seeds_all(dfm: DeviceFMIndex,
                 if lane_start == e or _visited(lane, e):
                     starts_i = lane[1]
                     idx = int(np.searchsorted(starts_i, e))
-                    hits_q.append(starts_i[idx:])
-                    hits_l.append(lane[2][idx:])
-                    hits_k0.append(lane[3][idx:])
-                    hits_fr.append(lane[4][idx:])
-                    e = lane[6]
+                    if lane_poison != POISON_NONE:
+                        j_end = int(np.searchsorted(starts_i, lane_poison))
+                        hits_q.append(starts_i[idx:j_end])
+                        hits_l.append(lane[2][idx:j_end])
+                        hits_k0.append(lane[3][idx:j_end])
+                        hits_fr.append(lane[4][idx:j_end])
+                        e = lane_poison
+                    else:
+                        hits_q.append(starts_i[idx:])
+                        hits_l.append(lane[2][idx:])
+                        hits_k0.append(lane[3][idx:])
+                        hits_fr.append(lane[4][idx:])
+                        e = lane[6]
             else:
                 done[ci] = True
             entry[ci] = e
@@ -408,15 +448,16 @@ def find_seeds_all(dfm: DeviceFMIndex,
         f_starts = np.asarray([f[2] for f in fixups], np.int32)
         f_emit = np.asarray([f[3] for f in fixups], np.int32)
         f_ext = np.asarray([f[4] for f in fixups], np.int32)
-        qs, ls, k0, fr, n, exits = _run_scan(
-            dfm, qc_dev, f_starts, f_emit, f_ext,
+        # fixup lanes run with the REAL chunk-end clip: never poisoned
+        qs, ls, k0, fr, n, exits, poi = _run_scan(
+            dfm, qc_dev, f_starts, f_emit, f_ext, f_ext,
             min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh)
         for i, (ci, k, e, _, _) in enumerate(fixups):
             m = n[i]
             starts_i = qs[i, :m]
             adv = starts_i + (stride if stride else ls[i, :m] + 1)
             lanes[(ci, k)] = (int(e), starts_i, ls[i, :m], k0[i, :m],
-                              fr[i, :m], adv, int(exits[i]))
+                              fr[i, :m], adv, int(exits[i]), POISON_NONE)
 
     q_pos, r_pos, length = _expand_hits(
         dfm,
@@ -478,10 +519,12 @@ def find_seeds(dfm: DeviceFMIndex,
                sensitive: bool = False,
                chunk: int = 10000,
                n_segments: int = 1,
+               slack: int = 600,
                mesh=None,
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Find all LMEM seeds of one query chromosome (see find_seeds_all)."""
     return find_seeds_all(
         dfm, [query_codes], min_seed_length=min_seed_length,
         max_seed_freq=max_seed_freq, sensitive=sensitive, chunk=chunk,
+        slack=slack,
         n_segments=n_segments, mesh=mesh)[0]

@@ -74,3 +74,26 @@ def test_seeding_rc_strand():
     q_pos, r_pos, length = find_seeds(dfm, qry, min_seed_length=12, chunk=500)
     assert len(q_pos) > 0
     assert (r_pos >= fm.genome.size).any()
+
+
+@pytest.mark.parametrize("slack,n_segments", [(20, 8), (40, 4), (10, 16)])
+def test_seeding_poisoned_segments_match_naive(slack, n_segments):
+    """Tiny slack + long exact regions force extension clipping at the
+    artificial segment bound: the poison/fixup path must still reproduce
+    the reference scan exactly."""
+    rng = np.random.default_rng(123)
+    ref = random_genome(rng, 3000)
+    fm = make_fm(ref)
+    dfm = DeviceFMIndex.from_host(fm)
+    qry = mutate(ref, rng, sub_rate=0.01)
+    # an exact 600bp region (no variants): extensions run long there
+    qry[800:1400] = ref[800:1400]
+
+    q_pos, r_pos, length = find_seeds(
+        dfm, qry, min_seed_length=12, max_seed_freq=100,
+        chunk=1000, n_segments=n_segments, slack=slack)
+    got = _sorted(zip(q_pos.tolist(), r_pos.tolist(), length.tolist()))
+    text = fm.genome.codes_fwd_rc()
+    expect = _sorted(naive_lmem_seeds(
+        text, qry, min_seed_length=12, max_seed_freq=100, chunk=1000))
+    assert got == expect
