@@ -188,9 +188,10 @@ def main(argv=None) -> int:
         # local devices (outputs are bit-identical for any device count)
         from gsalign_tpu.parallel import mesh as mesh_lib
         mesh = mesh_lib.make_mesh(jax.local_devices())
-    if resume or jax.process_count() > 1:
-        # restartable / multi-host path: per-chromosome shards with
-        # atomic commit markers, deterministic merge (parallel/distributed)
+    if resume or jax.process_count() > 1 or \
+            (cfg.thread_num > 1 and len(query_records) > 1):
+        # restartable / multi-host / host-threaded path: per-chromosome
+        # shards with atomic commit markers, deterministic merge
         from gsalign_tpu.parallel.distributed import run_distributed
         run_distributed(fm, query_records, cfg, output_prefix,
                         mesh=mesh, resume=resume)

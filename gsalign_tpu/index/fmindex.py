@@ -194,19 +194,25 @@ def _build_t3_index(sa_full: np.ndarray, g_ctx: np.ndarray,
     c64[64] = rows
 
     # per-block class checkpoints + 8-bit packed symbols (MSB-first in word)
+    # -- built slab-wise: a single flat (block*64 + sym) id array is 8 bytes
+    # per row, which at >2^31 rows dominated the build's memory footprint
     n3_blocks = rows // T3_BLOCK + 1
-    ids = (np.arange(rows, dtype=np.int64) >> 7) * 64 + t3
-    per_block = np.bincount(ids, minlength=n3_blocks * 64).reshape(
-        n3_blocks, 64)
-    t3_cp = np.zeros((n3_blocks, 64), dtype=np.int64)
-    t3_cp[1:] = np.cumsum(per_block, axis=0)[:-1]
-    t3_cp = t3_cp.astype(cp_dtype)
+    t3_cp = np.zeros((n3_blocks + 1, 64), dtype=np.int64)
+    SLAB = 1 << 27                      # rows per slab (multiple of 128)
+    for s in range(0, rows, SLAB):
+        e = min(s + SLAB, rows)
+        b0 = s >> 7
+        nb = ((e - 1) >> 7) - b0 + 1
+        ids = (np.arange(s, e, dtype=np.int64) >> 7) * 64 + t3[s:e] \
+            - b0 * 64
+        cnt = np.bincount(ids, minlength=nb * 64).reshape(nb, 64)
+        t3_cp[b0 + 1: b0 + 1 + nb] += cnt      # shifted: exclusive cumsum
+    np.cumsum(t3_cp, axis=0, out=t3_cp)
+    t3_cp = t3_cp[:n3_blocks].astype(cp_dtype)
     padded = np.zeros(n3_blocks * T3_BLOCK, dtype=np.uint8)
     padded[:rows] = t3
-
-    syms = padded.astype(np.uint32).reshape(-1, 4)
-    shifts = ((3 - np.arange(4)) * 8).astype(np.uint32)
-    t3_packed = np.bitwise_or.reduce(syms << shifts, axis=1).astype(np.uint32)
+    # MSB-first 4x8-bit packing == a big-endian u32 view (no temporaries)
+    t3_packed = padded.view(">u4").astype("=u4")
     return t3_packed, t3_cp, c64, t3_exc_pos, t3_exc_chr
 
 

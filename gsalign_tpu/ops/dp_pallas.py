@@ -1,24 +1,31 @@
-"""Pallas TPU wavefront kernel for the batched affine-gap DP forward pass.
+"""Pallas TPU kernel: fused affine-gap DP forward + traceback.
 
 Same recurrence and direction-byte semantics as ops/dp.py (the exact ksw2
-`extz2_sse` emulation, reference src/ksw2_alignment.cpp:70-249) but with
-the whole anti-diagonal loop fused into one kernel: the u/v/x/y difference
-rows live in VMEM scratch across all 2L-1 wavefronts and only the
-direction matrix streams out to HBM (the lockstep traceback then runs as
-the existing XLA pass, ops/dp._traceback_single).
+`extz2_sse` + `ksw_backtrack` emulation, reference
+src/ksw2_alignment.cpp:25-249) with BOTH passes fused into one kernel: the
+u/v/x/y difference rows AND the whole direction matrix stay in VMEM, and
+only the op codes leave the chip — the direction matrix (the O(L^2)
+traffic of the scan path) never touches HBM.
 
-Mosaic-friendly layout (the first attempt died on SMEM scalar-vector
-stacks, per-lane `.at` scatters and scalar-indexed readback): problems
-ride the LANE axis (TB = 128 per tile) and DP columns ride sublanes, so
+Mosaic-friendly constructions (this toolchain rejects SMEM scalar-vector
+stacks, per-lane scatters/gathers, and any int64 in the kernel — see
+CLAUDE.md):
+ - problems ride the LANE axis (TB = 128 per tile), DP columns sublanes;
  - the per-wavefront reversed-query window is ONE sublane-dim dynamic
-   slice `q_ref[pl.ds(start, L), :]` with a scalar start shared by the
-   whole tile (r is global: rows past a problem's last anti-diagonal have
-   an empty band and write only zeros),
- - per-problem lengths are ordinary VMEM vector inputs ([1, TB] blocks),
- - all writes are full-block or leading-dim dynamic-slice stores.
-The grid is (tiles, row-chunks); scratch persists across the inner
-row-chunk steps, so the direction-matrix output block stays small (RC
-wavefronts) and any bucket L fits VMEM.
+   slice with a scalar start shared by the tile (wavefront index r is
+   global: rows past a problem's last anti-diagonal have an empty band);
+ - per-problem lengths are ordinary VMEM vector inputs;
+ - the traceback runs on a GLOBAL anti-diagonal schedule: wavefront r
+   decreases one per step and a problem acts only when its i+j == r (an
+   M-step skips a wavefront, so the problem idles one step and emits PAD,
+   which the host strips anyway). The per-problem direction byte is a
+   masked sublane reduction over the wavefront row — no per-lane gather.
+   Tail runs (one index exhausted) follow the same schedule since D/I
+   steps decrement i+j by exactly one.
+
+Restriction: the direction matrix scratch is (2L-1, L, TB) int8 in VMEM,
+so this kernel serves buckets with L <= 160; larger problems use the
+lax.scan path (ops/dp.py).
 """
 
 from __future__ import annotations
@@ -31,44 +38,43 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gsalign_tpu.ops.dp import (GAP_OPEN, MAX_SC, QE2, WILDCARD,
-                                _traceback_single)
+from gsalign_tpu.ops.dp import (GAP_OPEN, MAX_SC, OP_D, OP_I, OP_M, OP_PAD,
+                                QE2, WILDCARD)
 
 MATCH = 1
 MISMATCH = -1
 
 TB = 128          # problems per tile (lane axis)
-RC = 64           # wavefronts per grid step (direction-matrix block rows)
+MAX_L = 160       # d scratch (2L-1, L, TB) int8 must fit VMEM
 
 
-def _dp_fwd_kernel(q_ref, t_ref, ql_ref, tl_ref, d_ref,
-                   u_ref, v_ref, x_ref, y_ref, *, L: int, n_rows: int):
-    """One (tile, row-chunk) grid step: RC wavefronts of the recurrence.
+def _n_steps(L: int) -> int:
+    return -(-(2 * L + 2) // 8) * 8          # traceback steps, 8-aligned
+
+
+def _dp_kernel(q_ref, t_ref, ql_ref, tl_ref, ops_ref,
+               u_ref, v_ref, x_ref, y_ref, d_ref, *, L: int):
+    """One tile: full forward wavefront loop + wavefront-scheduled traceback.
 
     q_ref: [3L, TB] reversed-padded ksw-query columns (wildcard guards)
     t_ref: [L, TB]  ksw-target columns
     ql_ref/tl_ref: [1, TB] int32 lengths
-    d_ref: [1, RC, L, TB] int8 direction-byte output block
-    scratch u/v/x/y: [L, TB] int32, persistent across row-chunks
+    ops_ref: [NT, TB] int32 output, reverse-order ops (PAD-interleaved)
+    scratch: u/v/x/y [L, TB] int32; d [2L-1, L, TB] int8
     """
     i32 = jnp.int32
-    rc = pl.program_id(1)
-
-    @pl.when(rc == 0)
-    def _init():
-        zeros = jnp.zeros((L, TB), i32)
-        u_ref[:] = zeros
-        v_ref[:] = zeros
-        x_ref[:] = zeros
-        y_ref[:] = zeros
+    zeros = jnp.zeros((L, TB), i32)
+    u_ref[:] = zeros
+    v_ref[:] = zeros
+    x_ref[:] = zeros
+    y_ref[:] = zeros
 
     ql = ql_ref[0, :]                   # [TB]
     tl = tl_ref[0, :]
     t_codes = t_ref[:]                  # [L, TB]
     t_idx = jax.lax.broadcasted_iota(i32, (L, TB), 0)
 
-    def row_body(k, _):
-        r = rc.astype(i32) * i32(RC) + k   # global wavefront index (scalar)
+    def fwd_body(r, _):
         u = u_ref[:]
         v = v_ref[:]
         x = x_ref[:]
@@ -85,7 +91,7 @@ def _dp_fwd_kernel(q_ref, t_ref, ql_ref, tl_ref, d_ref,
 
         # s[t] = score(T[t], Q[r-t]) via the reversed-query window
         start = i32(2 * L - 1) - r
-        qrr = q_ref[pl.ds(start, L), :]                    # [L, TB]
+        qrr = q_ref[pl.ds(start, L), :]                       # [L, TB]
         is_wild = (t_codes >= WILDCARD) | (qrr >= WILDCARD)
         s = jnp.where(is_wild, i32(0),
                       jnp.where(t_codes == qrr, i32(MATCH), i32(MISMATCH)))
@@ -99,9 +105,6 @@ def _dp_fwd_kernel(q_ref, t_ref, ql_ref, tl_ref, d_ref,
         z = s + i32(QE2)
         a = xt1 + vt1
         b_ = y + u
-        # direction bits stay int32 in-register; the store narrows to int8
-        # (Mosaic's int32->uint8 convert lowers into an infinite
-        # _convert_helper recursion on this toolchain; int8 works)
         d = jnp.where(a > z, i32(1), i32(0))
         z = jnp.maximum(z, a)
         d = jnp.where(b_ > z, i32(2), d)
@@ -122,30 +125,73 @@ def _dp_fwd_kernel(q_ref, t_ref, ql_ref, tl_ref, d_ref,
         v_ref[:] = jnp.where(in_band, v_new, v)
         x_ref[:] = jnp.where(in_band, x_new, x)
         y_ref[:] = jnp.where(in_band, y_new, y)
-        d_ref[0, k] = jnp.where(in_band, d, i32(0)).astype(jnp.int8)
+        d_ref[r] = jnp.where(in_band, d, i32(0)).astype(jnp.int8)
         return i32(0)
 
-    # int32 loop bounds: under the repo-global x64 mode a default fori_loop
-    # carries an int64 induction variable, and int64 inside the kernel sends
-    # Mosaic's convert_element_type lowering into infinite recursion
-    jax.lax.fori_loop(i32(0), i32(RC), row_body, i32(0), unroll=False)
+    jax.lax.fori_loop(i32(0), i32(2 * L - 1), fwd_body, i32(0),
+                      unroll=False)
 
+    # ---- traceback on the global anti-diagonal schedule ----
+    NT = _n_steps(L)
 
-def _fwd_kernel_fixed(q_ref, t_ref, ql_ref, tl_ref, d_ref,
-                      u_ref, v_ref, x_ref, y_ref, *, L: int, n_rows: int):
-    # wrapper kept for clarity of partial() naming
-    _dp_fwd_kernel(q_ref, t_ref, ql_ref, tl_ref, d_ref,
-                   u_ref, v_ref, x_ref, y_ref, L=L, n_rows=n_rows)
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, TB), 0)
+
+    def tb_body(g, carry):
+        ii, jj, st, buf = carry                  # [1, TB] int32 (+buf [8,TB])
+        r = i32(2 * L - 2) - g
+        both = (ii >= 0) & (jj >= 0)
+        act = ((ii + jj) == r) & ((ii >= 0) | (jj >= 0))
+
+        row = d_ref[jnp.maximum(r, i32(0))]      # [L, TB] int8
+        pick = t_idx == jnp.clip(ii, i32(0), i32(L - 1))
+        tmp = jnp.sum(jnp.where(pick, row.astype(i32), i32(0)),
+                      axis=0, keepdims=True, dtype=i32)   # [1, TB]
+        tmp = jnp.where(act & both, tmp, i32(0))
+
+        s1 = jnp.where(st == 0, tmp & i32(7),
+                       jnp.where(((tmp >> (st + i32(2))) & i32(1)) == 0,
+                                 i32(0), st))
+        s2 = jnp.where(s1 == 0, tmp & i32(7), s1)
+        is_m = s2 == 0
+        is_d = (s2 == 1) | (s2 == 3)
+        op_main = jnp.where(is_m, i32(OP_M),
+                            jnp.where(is_d, i32(OP_D), i32(OP_I)))
+        op_tail = jnp.where(ii >= 0, i32(OP_D),
+                            jnp.where(jj >= 0, i32(OP_I), i32(OP_PAD)))
+        op = jnp.where(act, jnp.where(both, op_main, op_tail), i32(OP_PAD))
+        di = jnp.where(both, jnp.where(is_m | is_d, i32(1), i32(0)),
+                       jnp.where(ii >= 0, i32(1), i32(0)))
+        dj = jnp.where(both, jnp.where(is_m | ~is_d, i32(1), i32(0)),
+                       jnp.where((ii < 0) & (jj >= 0), i32(1), i32(0)))
+        acti = act.astype(i32)
+        # int8 single-sublane dynamic stores are rejected by Mosaic: buffer
+        # eight steps in registers and store an aligned (8, TB) int32 tile
+        buf = jnp.where(iota8 == (g & i32(7)), op, buf)
+
+        @pl.when((g & i32(7)) == i32(7))
+        def _flush():
+            ops_ref[pl.ds((g >> i32(3)) * i32(8), 8), :] = buf
+        return (ii - di * acti, jj - dj * acti,
+                jnp.where(act & both, s2, st), buf)
+
+    ii0 = (tl - i32(1))[None, :]
+    jj0 = (ql - i32(1))[None, :]
+    st0_ = jnp.zeros((1, TB), i32)
+    buf0 = jnp.full((8, TB), i32(OP_PAD), i32)
+    jax.lax.fori_loop(i32(0), i32(NT), tb_body, (ii0, jj0, st0_, buf0),
+                      unroll=False)
 
 
 @partial(jax.jit, static_argnames=("L", "interpret"))
 def dp_align_batch_pallas(q_codes, t_codes, ql, tl, L: int,
                           interpret: bool = False):
-    """Drop-in replacement for ops/dp.dp_align_batch (identical outputs).
+    """Drop-in for ops/dp.dp_align_batch: returns reverse-order op codes
+    with interleaved OP_PAD (callers strip PADs), uint8 [B, NT].
 
     q_codes/t_codes: int32 [B, L] (pad 4); B is padded to a TB multiple
-    internally. Returns uint8 [B, 2L] reverse-order op codes.
+    internally. Requires L <= MAX_L.
     """
+    assert L <= MAX_L, f"pallas DP bucket limit is {MAX_L}, got {L}"
     B0 = q_codes.shape[0]
     B = -(-B0 // TB) * TB
     if B != B0:
@@ -155,8 +201,7 @@ def dp_align_batch_pallas(q_codes, t_codes, ql, tl, L: int,
         one = jnp.ones(B - B0, ql.dtype)
         ql = jnp.concatenate([ql, one])
         tl = jnp.concatenate([tl, one])
-    n_rows = 2 * L - 1
-    n_rc = -(-n_rows // RC)
+    NT = _n_steps(L)
 
     qrev = q_codes[:, ::-1]
     pad = jnp.full((B, L), WILDCARD, jnp.int32)
@@ -169,44 +214,34 @@ def dp_align_batch_pallas(q_codes, t_codes, ql, tl, L: int,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(B // TB, n_rc),
-        # index maps derive every constant from the grid index: under the
-        # repo-global x64 mode a literal 0 traces as i64 and the mixed
-        # (i64, i32) index-map return crashes the remote Mosaic compiler
+        grid=(B // TB,),
         in_specs=[
-            pl.BlockSpec((3 * L, TB), lambda i, r: (i * 0, i),
+            pl.BlockSpec((3 * L, TB), lambda i: (i * 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, TB), lambda i, r: (i * 0, i),
+            pl.BlockSpec((L, TB), lambda i: (i * 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TB), lambda i, r: (i * 0, i),
+            pl.BlockSpec((1, TB), lambda i: (i * 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TB), lambda i, r: (i * 0, i),
+            pl.BlockSpec((1, TB), lambda i: (i * 0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, RC, L, TB),
-                               lambda i, r: (i, r, i * 0, i * 0),
+        out_specs=pl.BlockSpec((NT, TB), lambda i: (i * 0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((L, TB), jnp.int32),
             pltpu.VMEM((L, TB), jnp.int32),
             pltpu.VMEM((L, TB), jnp.int32),
             pltpu.VMEM((L, TB), jnp.int32),
+            pltpu.VMEM((2 * L - 1, L, TB), jnp.int8),
         ],
     )
-    d_all = pl.pallas_call(
-        partial(_fwd_kernel_fixed, L=L, n_rows=n_rows),
+    ops = pl.pallas_call(
+        partial(_dp_kernel, L=L),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B // TB, n_rc * RC, L, TB),
-                                       jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((NT, B), jnp.int32),
         interpret=interpret,
     )(qT, tT, ql2, tl2)
-
-    # [B//TB, n_rc*RC, L, TB] -> [B, 2L-1, L]
-    d_all = d_all[:, :n_rows]
-    d_all = jnp.transpose(d_all, (0, 3, 1, 2)).reshape(B, n_rows, L)
-    ops = jax.vmap(lambda d, a, b: _traceback_single(d, a, b, L))(
-        d_all, ql.astype(jnp.int32), tl.astype(jnp.int32))
-    return ops[:B0]
+    return ops.T.astype(jnp.uint8)[:B0]          # [B0, NT]
 
 
 def make_dp_fn(interpret: bool = False):
@@ -216,19 +251,18 @@ def make_dp_fn(interpret: bool = False):
     return fn
 
 
-def probe(interpret: bool = False) -> bool:
-    """Compile-and-run probe on a tiny batch; False if the toolchain cannot
-    build the kernel (callers then fall back to the lax.scan path)."""
+def probe(L: int = 128, interpret: bool = False) -> bool:
+    """Compile-and-run probe; False if the toolchain cannot build the
+    kernel (callers then fall back to the lax.scan path)."""
     try:
         rng = np.random.default_rng(0)
-        L = 64
         q = rng.integers(0, 4, (8, L)).astype(np.int32)
         t = q.copy()
         t[:, 5] = (t[:, 5] + 1) % 4
         ql = np.full(8, L, np.int32)
-        out = dp_align_batch_pallas(jnp.asarray(q), jnp.asarray(t),
-                                    jnp.asarray(ql), jnp.asarray(ql), L,
-                                    interpret=interpret)
-        return np.asarray(out).shape == (8, 2 * L)
+        out = np.asarray(dp_align_batch_pallas(
+            jnp.asarray(q), jnp.asarray(t), jnp.asarray(ql),
+            jnp.asarray(ql), L, interpret=interpret))
+        return out.shape == (8, _n_steps(L))
     except Exception:
         return False

@@ -68,25 +68,37 @@ def run_distributed(fm, query_records: List, cfg, output_prefix: str,
     my_stats = RunStats()
     ext0 = ".maf" if cfg.effective().output_format == 1 else ".aln"
     owned = [ci for ci in range(len(query_records)) if ci % nproc == pid]
-    for ci in owned:
+
+    def run_one(ci: int):
         part = f"{output_prefix}.part{ci}"
-        done = False
         if resume and os.path.exists(part + ".pkl"):
             with open(part + ".pkl", "rb") as fh:
                 st, _ = pickle.load(fh)
             # the marker commits AFTER the shard: presence of the .pkl
             # guarantees the shard (absent only for 0-alignment chromosomes)
-            done = os.path.exists(part + ext0) or st.local_alignment_num == 0
-        if done:
-            res = []
-        else:
-            st, coll, res = compare_genomes(
-                fm, [query_records[ci]], cfg, output_prefix=part,
-                verbose=verbose, mesh=mesh, dp_fn=dp_fn,
-                write_vcf_file=False)
-            with open(part + ".pkl.tmp", "wb") as fh:
-                pickle.dump((st, coll), fh)
-            os.replace(part + ".pkl.tmp", part + ".pkl")   # commit marker
+            if os.path.exists(part + ext0) or st.local_alignment_num == 0:
+                return st, []
+        st, coll, res = compare_genomes(
+            fm, [query_records[ci]], cfg, output_prefix=part,
+            verbose=verbose, mesh=mesh, dp_fn=dp_fn,
+            write_vcf_file=False)
+        with open(part + ".pkl.tmp", "wb") as fh:
+            pickle.dump((st, coll), fh)
+        os.replace(part + ".pkl.tmp", part + ".pkl")       # commit marker
+        return st, res
+
+    # host-side chromosome threading (the reference's -t maps to pthread
+    # stage workers, src/GSAlign.cpp:492-526; here threads overlap one
+    # chromosome's host stages with another's device stages — device
+    # launches serialize on the chip anyway, outputs merge by index)
+    n_workers = min(max(1, cfg.effective().thread_num), max(1, len(owned)))
+    if n_workers > 1 and len(owned) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(n_workers) as pool:
+            outs = list(pool.map(run_one, owned))
+    else:
+        outs = [run_one(ci) for ci in owned]
+    for st, res in outs:
         my_results.extend(res)
         my_stats.local_alignment_num += st.local_alignment_num
         my_stats.total_alignment_length += st.total_alignment_length

@@ -55,3 +55,28 @@ def test_two_process_distributed_matches_single(tmp_path, nproc):
         with open(tmp_path / ("dist_out" + ext), "rb") as fh:
             dist = _strip_ref_line(fh.read())
         assert single == dist, f"{ext} differs (single vs {nproc}-process)"
+
+
+def test_threaded_chromosomes_byte_identical(tmp_path):
+    """-t host threading over chromosomes: byte-identical to serial."""
+    import dataclasses
+    from gsalign_tpu.config import AlignConfig
+    from gsalign_tpu.genome.packing import pack_genome
+    from gsalign_tpu.index.fmindex import build_fmindex
+    from gsalign_tpu.parallel.distributed import run_distributed
+    from gsalign_tpu.pipeline.align import compare_genomes
+    from tests.make_testdata import make_pair
+
+    ref, qry = make_pair(total_len=150_000, n_chr=4, seed=66,
+                         inversion=False)
+    fm = build_fmindex(pack_genome(ref))
+    compare_genomes(fm, qry, AlignConfig(),
+                    output_prefix=str(tmp_path / "serial"), verbose=False)
+    cfg = dataclasses.replace(AlignConfig(), thread_num=4)
+    run_distributed(fm, qry, cfg, str(tmp_path / "thr"), verbose=False)
+    for ext in (".maf", ".vcf"):
+        with open(tmp_path / ("serial" + ext), "rb") as fh:
+            a = _strip_ref_line(fh.read())
+        with open(tmp_path / ("thr" + ext), "rb") as fh:
+            b = _strip_ref_line(fh.read())
+        assert a == b, f"{ext} differs (serial vs threaded)"
