@@ -44,7 +44,12 @@ class AlignConfig:
     seed_lane_chunk: int = 10000        # lane width for batched seeding
     dp_buckets: tuple = (64, 128, 256, 512, 1024, 2048, 5120)
     dp_batch_cells: int = 1 << 26       # target cells per DP kernel launch
-    use_pallas: bool = True             # Pallas DP kernel vs lax.scan fallback
+    # Pallas fused DP kernel (ops/dp_pallas.py): hardware-parity-verified,
+    # ~1.2x the lax.scan path on a v5e (0.85 vs 0.72 Gcells/s incl.
+    # traceback at [2048x128x128]). Default OFF in this environment: the
+    # axon tunnel pays 1-5 min executable load per fresh process for a
+    # ~50ms/run saving. Flip on for local-chip deployments.
+    use_pallas: bool = False
 
     def effective(self) -> "AlignConfig":
         """Apply -sen implications (reference src/main.cpp:272-277,323)."""

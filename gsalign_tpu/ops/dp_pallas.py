@@ -251,6 +251,29 @@ def make_dp_fn(interpret: bool = False):
     return fn
 
 
+_HW_OK = None
+
+
+def hw_ok() -> bool:
+    """Cached compile-probe of the kernel on the current backend."""
+    global _HW_OK
+    if _HW_OK is None:
+        _HW_OK = probe()
+    return _HW_OK
+
+
+def make_hybrid_dp_fn():
+    """dp_fn for align_fragments: Pallas for buckets with L <= MAX_L,
+    lax.scan otherwise."""
+    from gsalign_tpu.ops.dp import dp_align_batch
+
+    def fn(q, t, ql, tl, L):
+        if L <= MAX_L:
+            return dp_align_batch_pallas(q, t, ql, tl, L)
+        return dp_align_batch(q, t, ql, tl, L)
+    return fn
+
+
 def probe(L: int = 128, interpret: bool = False) -> bool:
     """Compile-and-run probe; False if the toolchain cannot build the
     kernel (callers then fall back to the lax.scan path)."""

@@ -112,6 +112,10 @@ def generate_alignments(blocks: List[Block], qry_chars: np.ndarray,
             dp_jobs.append((bi, int(j)))
 
     if dp_jobs:
+        if dp_fn is None and cfg.use_pallas:
+            from gsalign_tpu.ops import dp_pallas
+            if dp_pallas.hw_ok():
+                dp_fn = dp_pallas.make_hybrid_dp_fn()
         ref_frags = []
         qry_frags = []
         for bi, j in dp_jobs:
@@ -125,14 +129,34 @@ def generate_alignments(blocks: List[Block], qry_chars: np.ndarray,
         ops_list = dp_ops.align_fragments(
             ref_frags, qry_frags, bucket_sizes=cfg.dp_buckets,
             batch_cells=cfg.dp_batch_cells, mesh=mesh, **kwargs)
-        for (bi, j), ops in zip(dp_jobs, ops_list):
+        # expand ALL op lists to aligned rows in one pass (per-pair cumsum
+        # rebase; the per-pair python loop was a 100Mb-scale host pole)
+        ops_all = np.concatenate(ops_list)
+        lens = np.asarray([len(o) for o in ops_list], dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens)])
+        total = int(starts[-1])
+        pid = np.repeat(np.arange(len(dp_jobs)), lens)
+        take_ref = ops_all != dp_ops.OP_D
+        take_qry = ops_all != dp_ops.OP_I
+        cr = np.concatenate([[0], np.cumsum(take_ref)])[:total]
+        cq = np.concatenate([[0], np.cumsum(take_qry)])[:total]
+        r0 = np.asarray([int(blocks[bi].r_pos[j]) for bi, j in dp_jobs],
+                        dtype=np.int64)
+        q0 = np.asarray([int(blocks[bi].q_pos[j]) for bi, j in dp_jobs],
+                        dtype=np.int64)
+        r_glob = r0[pid] + (cr - cr[starts[pid]])
+        q_glob = q0[pid] + (cq - cq[starts[pid]])
+        a1_all = np.where(take_ref, ref_chars[r_glob], _GAP) \
+            .astype(np.uint8)
+        a2_all = np.where(take_qry, qry_chars[q_glob], _GAP) \
+            .astype(np.uint8)
+        ident = (NT4_TABLE[a1_all] == NT4_TABLE[a2_all])
+        per_ident = np.add.reduceat(ident, starts[:-1]) if total else \
+            np.zeros(0, dtype=np.int64)
+        for k, (bi, j) in enumerate(dp_jobs):
             blk = blocks[bi]
-            q_pos, r_pos = int(blk.q_pos[j]), int(blk.r_pos[j])
-            q_len, r_len = int(blk.q_len[j]), int(blk.r_len[j])
-            a1, a2 = dp_ops.ops_to_alignment(
-                ops, ref_chars[r_pos:r_pos + r_len],
-                qry_chars[q_pos:q_pos + q_len])
-            blk.aln1[j] = a1
-            blk.aln2[j] = a2
-            blk.aln_len += len(a1)
-            blk.score += count_identical(a1, a2)
+            s, e = int(starts[k]), int(starts[k + 1])
+            blk.aln1[j] = a1_all[s:e]
+            blk.aln2[j] = a2_all[s:e]
+            blk.aln_len += e - s
+            blk.score += int(per_ident[k])

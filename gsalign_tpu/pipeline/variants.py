@@ -168,6 +168,7 @@ def identify_variants(blocks: List[Block], qry_chars: np.ndarray,
 
         # --- per-pair events for indel / DP pairs (rare) ---
         events = []    # (pair_idx, col, type, r_raw, ref_frag, alt_frag)
+        walk_idx = []
         for j in special:
             j = int(j)
             q_pos, r_pos = int(blk.q_pos[j]), int(blk.r_pos[j])
@@ -182,9 +183,11 @@ def identify_variants(blocks: List[Block], qry_chars: np.ndarray,
                 alt_frag = bytes(qry_chars[q_pos - 1: q_pos + q_len])
                 ref = bytes(ref_chars[r_pos - 1: r_pos])
                 events.append((j, 0, TYPE_INS, r_pos - 1, ref, alt_frag))
-            else:                   # DP-aligned pair: walk the rows
-                _walk_alignment(blk.aln1[j], blk.aln2[j], q_pos, r_pos, j,
-                                qry_chars, ref_chars, events)
+            else:                   # DP-aligned pair
+                walk_idx.append(j)
+        if walk_idx:
+            _walk_alignments_batch(blk, walk_idx, qry_chars, ref_chars,
+                                   events)
 
         n_snv = 0 if snv_pair is None else len(snv_pair)
         n_ev = len(events)
@@ -215,44 +218,63 @@ def identify_variants(blocks: List[Block], qry_chars: np.ndarray,
     collector.finalize(chr_index)
 
 
-def _walk_alignment(a1: np.ndarray, a2: np.ndarray, q_pos0: int, r_pos0: int,
-                    pair_idx: int, qry_chars: np.ndarray,
-                    ref_chars: np.ndarray, events: list) -> None:
-    """The aligned-string walk (src/SeqVariant.cpp:64-115): indel runs and
-    SNV columns by masks, emitted in column order."""
-    n = len(a1)
+def _walk_alignments_batch(blk, walk_idx, qry_chars: np.ndarray,
+                           ref_chars: np.ndarray, events: list) -> None:
+    """The aligned-string walk (src/SeqVariant.cpp:64-115) over ALL of a
+    block's DP pairs at once: rows are concatenated with per-position pair
+    ids, indel runs found by boundary-reset mask edges, and coordinates by
+    per-pair-rebased cumulative sums. Only the (rare) per-event fragment
+    byte strings are built in Python."""
+    a1 = np.concatenate([blk.aln1[j] for j in walk_idx])
+    a2 = np.concatenate([blk.aln2[j] for j in walk_idx])
+    lens = np.asarray([len(blk.aln1[j]) for j in walk_idx], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)])
+    n = int(starts[-1])
+    pid = np.repeat(np.arange(len(walk_idx)), lens)
+    col = np.arange(n, dtype=np.int64) - starts[pid]
+    first = col == 0
+
     gap1 = a1 == _GAP
     gap2 = a2 == _GAP
-    r_at = r_pos0 + np.concatenate([[0], np.cumsum(~gap1)])[:n]
-    q_at = q_pos0 + np.concatenate([[0], np.cumsum(~gap2)])[:n]
+    # per-pair exclusive cumsum of consumed chars, rebased at pair starts
+    c1 = np.concatenate([[0], np.cumsum(~gap1)])[:n]
+    c2 = np.concatenate([[0], np.cumsum(~gap2)])[:n]
+    r0 = np.asarray([int(blk.r_pos[j]) for j in walk_idx], dtype=np.int64)
+    q0 = np.asarray([int(blk.q_pos[j]) for j in walk_idx], dtype=np.int64)
+    r_at = r0[pid] + (c1 - c1[starts[pid]])
+    q_at = q0[pid] + (c2 - c2[starts[pid]])
 
-    ins_starts = np.nonzero(gap1 & ~np.concatenate([[False], gap1[:-1]]))[0]
-    del_starts = np.nonzero(gap2 & ~np.concatenate([[False], gap2[:-1]]))[0]
+    prev1 = np.concatenate([[False], gap1[:-1]])
+    prev2 = np.concatenate([[False], gap2[:-1]])
+    # run starts: gap position at a pair start or after a non-gap; run
+    # ends: gap position whose successor starts a new pair or is not a gap
+    nxt_first = np.concatenate([first[1:], [True]])
+    nxt1 = np.concatenate([gap1[1:], [False]])
+    nxt2 = np.concatenate([gap2[1:], [False]])
+    ins_starts = np.nonzero(gap1 & (first | ~prev1))[0]
+    ins_ends = np.nonzero(gap1 & (nxt_first | ~nxt1))[0]
+    del_starts = np.nonzero(gap2 & (first | ~prev2))[0]
+    del_ends = np.nonzero(gap2 & (nxt_first | ~nxt2))[0]
     snv_cols = np.nonzero((~gap1) & (~gap2) &
                           (NT4_TABLE[a1] != NT4_TABLE[a2]) &
                           (NT4_TABLE[a2] != 4))[0]
 
-    for i in ins_starts:
-        i = int(i)
-        ind_len = 1
-        while i + ind_len < n and gap1[i + ind_len]:
-            ind_len += 1
+    for i, e in zip(ins_starts.tolist(), ins_ends.tolist()):
+        ind_len = e - i + 1
         q_cur = int(q_at[i])
         frag2 = bytes(qry_chars[q_cur - 1: q_cur + ind_len])
-        events.append((pair_idx, i, TYPE_INS, int(r_at[i]) - 1,
-                       frag2[:1], frag2))
-    for i in del_starts:
-        i = int(i)
-        ind_len = 1
-        while i + ind_len < n and gap2[i + ind_len]:
-            ind_len += 1
+        events.append((walk_idx[pid[i]], int(col[i]), TYPE_INS,
+                       int(r_at[i]) - 1, frag2[:1], frag2))
+    for i, e in zip(del_starts.tolist(), del_ends.tolist()):
+        ind_len = e - i + 1
         r_cur = int(r_at[i])
         frag1 = bytes(ref_chars[r_cur - 1: r_cur + ind_len])
-        events.append((pair_idx, i, TYPE_DEL, r_cur - 1, frag1, frag1[:1]))
-    for i in snv_cols:
-        i = int(i)
-        events.append((pair_idx, i, TYPE_SNV, int(r_at[i]),
-                       bytes(a1[i:i + 1]), bytes(a2[i:i + 1])))
+        events.append((walk_idx[pid[i]], int(col[i]), TYPE_DEL,
+                       r_cur - 1, frag1, frag1[:1]))
+    for i in snv_cols.tolist():
+        events.append((walk_idx[pid[i]], int(col[i]), TYPE_SNV,
+                       int(r_at[i]), bytes(a1[i:i + 1]),
+                       bytes(a2[i:i + 1])))
 
 
 def write_vcf(path: str, collector: VariantCollector, names: List[str],
