@@ -160,10 +160,11 @@ def est_chromosome_similarity(blocks: List[Block], chr_index: ChrLocIndex
                               ) -> np.ndarray:
     """EstChromosomeSimilarity (src/GSAlign.cpp:393-407)."""
     scores = np.zeros(chr_index.genome.n_chr, dtype=np.int64)
-    for blk in blocks:
-        if blk.n:
-            ci = int(chr_index.chr_of(np.asarray([blk.r_pos[0]]))[0])
-            scores[ci] += blk.score
+    live = [blk for blk in blocks if blk.n]
+    if live:
+        cis = chr_index.chr_of(
+            np.asarray([b.r_pos[0] for b in live], dtype=np.int64))
+        np.add.at(scores, cis, np.asarray([b.score for b in live]))
     return scores
 
 
@@ -177,38 +178,39 @@ def remove_redundant_blocks(blocks: List[Block], chr_scores: np.ndarray,
     else:
         blocks = sorted(blocks, key=lambda b: (int(b.r_pos[0]), -b.score))
     n = len(blocks)
+    if n == 0:
+        return blocks
+    # precompute heads/tails/chromosomes in one vectorized pass (immutable
+    # during the sweep; only scores/b_dup mutate) — the per-pair chr_of
+    # array round-trips dominated this stage at 100Mb scale
+    if axis == 1:
+        heads = [int(b.q_pos[0]) for b in blocks]
+        tails = [int(b.q_pos[-1] + b.q_len[-1] - 1) for b in blocks]
+    else:
+        heads = [int(b.r_pos[0]) for b in blocks]
+        tails = [int(b.r_pos[-1] + b.r_len[-1] - 1) for b in blocks]
+    chrv = chr_index.chr_of(
+        np.asarray([b.r_pos[0] for b in blocks], dtype=np.int64)).tolist()
+    if axis == 2:
+        for k in range(n):
+            if heads[k] >= chr_index.size:
+                heads[k], tails[k] = reverse_ref_coordinate(
+                    chr_index.two_size, heads[k], tails[k])
     for i in range(n):
         bi = blocks[i]
         if bi.score == 0:
             continue
-        if axis == 1:
-            head1 = int(bi.q_pos[0])
-            tail1 = int(bi.q_pos[-1] + bi.q_len[-1] - 1)
-        else:
-            head1 = int(bi.r_pos[0])
-            tail1 = int(bi.r_pos[-1] + bi.r_len[-1] - 1)
-        chr1 = int(chr_index.chr_of(np.asarray([bi.r_pos[0]]))[0])
-        if axis == 2 and head1 >= chr_index.size:
-            head1, tail1 = reverse_ref_coordinate(chr_index.two_size,
-                                                  head1, tail1)
+        head1, tail1, chr1 = heads[i], tails[i], chrv[i]
         for j in range(i + 1, n):
             bj = blocks[j]
             if bj.score == 0:
                 continue
-            if axis == 1:
-                head2 = int(bj.q_pos[0])
-                tail2 = int(bj.q_pos[-1] + bj.q_len[-1] - 1)
-            else:
-                head2 = int(bj.r_pos[0])
-                tail2 = int(bj.r_pos[-1] + bj.r_len[-1] - 1)
+            head2, tail2 = heads[j], tails[j]
             if axis == 1 and head1 == head2 and tail1 == tail2:
                 bi.b_dup = True
                 bj.score = 0
                 continue
-            chr2 = int(chr_index.chr_of(np.asarray([bj.r_pos[0]]))[0])
-            if axis == 2 and head2 >= chr_index.size:
-                head2, tail2 = reverse_ref_coordinate(chr_index.two_size,
-                                                      head2, tail2)
+            chr2 = chrv[j]
             if head2 < tail1:   # overlap
                 overlap = (tail1 - head2) if tail2 > tail1 else (tail2 - head2)
                 f1 = overlap / (tail1 - head1)
