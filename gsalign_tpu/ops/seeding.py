@@ -46,10 +46,47 @@ PHASE_EXT = 1
 POISON_NONE = 0x7FFFFFFF
 
 
+@jax.jit
+def _build_poslut(dfm: DeviceFMIndex, qcodes: jnp.ndarray) -> jnp.ndarray:
+    """Per-position scan row: everything the loop needs about the query at
+    position p, fused into ONE gatherable row (the loop previously paid
+    separate per-iteration gathers for the packed 3-gram and the C64/L2
+    LUT; each gather op costs ~40ns PER LANE plus a kernel launch).
+
+    Fields (rdtype [Lpad, 8]):
+      0 i3_lo   C64 interval start of the first three appended bases
+      1 i3_sz   its size
+      2 lo1     single-char interval start / EXT single base (L2[cls1]+1)
+      3 sz1     single-char interval size
+      4 cls3    triple class of (p, p+1, p+2)
+      5 flags   real3 | (b1_real << 1) | (cls1 << 2)
+      6,7       padding
+    """
+    i32 = jnp.int32
+    q = qcodes.astype(i32)
+    L = q.shape[0]
+    four = jnp.full(1, 4, i32)
+    b1 = q
+    b2 = jnp.concatenate([q[1:], four])
+    b3 = jnp.concatenate([q[2:], four, four])
+    b1c = jnp.clip(b1, 0, 3)
+    cls1 = 3 - b1c
+    cls3 = (3 - jnp.clip(b3, 0, 3)) * 16 + (3 - jnp.clip(b2, 0, 3)) * 4         + (3 - b1c)
+    real3 = (b1 <= 3) & (b2 <= 3) & (b3 <= 3)
+    e3 = dfm.lut[cls3]                       # [L, 2]
+    e1 = dfm.lut[64 + b1c]                   # [L, 2]
+    rdt = dfm.rdtype
+    flags = (real3.astype(i32) | ((b1 <= 3).astype(i32) << 1)
+             | (cls1 << 2)).astype(rdt)
+    zero = jnp.zeros(L, rdt)
+    return jnp.stack([e3[:, 0], e3[:, 1], e1[:, 0], e1[:, 1],
+                      cls3.astype(rdt), flags, zero, zero], axis=1)
+
+
 @partial(jax.jit, static_argnames=("min_seed_length", "max_seed_freq",
                                    "sensitive", "max_out"))
 def _seed_scan(dfm: DeviceFMIndex,
-               qcodes: jnp.ndarray,      # uint8/int32 [Lpad] (pad value 4)
+               poslut: jnp.ndarray,      # rdtype [Lpad, 8] (_build_poslut)
                starts: jnp.ndarray,      # int32 [B]
                emit_stops: jnp.ndarray,  # int32 [B] stop recording starts here
                ext_stops: jnp.ndarray,   # int32 [B] extension clip (may be
@@ -63,14 +100,7 @@ def _seed_scan(dfm: DeviceFMIndex,
     i32 = jnp.int32
     rdt = dfm.rdtype
     assert min_seed_length > 3, "triple-step shortcuts assume min_seed > 3"
-    qcodes = qcodes.astype(i32)
-    Lpad = qcodes.shape[0]
-    # pack (code[i], code[i+1], code[i+2]) into one value: a single gather
-    # yields all three upcoming bases (codes are 0..4, so base 8 packing)
-    four = jnp.full(1, 4, i32)
-    nxt1 = jnp.concatenate([qcodes[1:], four])
-    nxt2 = jnp.concatenate([qcodes[2:], four, four])
-    qtrips = qcodes * 64 + nxt1 * 8 + nxt2
+    Lpad = poslut.shape[0]
 
     init_state = dict(
         phase=jnp.zeros(B, i32),
@@ -82,13 +112,17 @@ def _seed_scan(dfm: DeviceFMIndex,
         out=jnp.zeros((B, max_out, 4), rdt),     # (qPos, len, freq, k0)
         out_n=jnp.zeros(B, i32),
         poison=jnp.full(B, POISON_NONE, i32),
+        # scalar live-lane counter (padded lanes are born done)
+        n_active=jnp.sum(starts.astype(i32) < emit_stops, dtype=i32),
     )
 
-    def lane_done(s):
-        return (s["phase"] == PHASE_INIT) & (s["cursor"] >= emit_stops)
+    def lane_done(cur_phase, cur_cursor):
+        return (cur_phase == PHASE_INIT) & (cur_cursor >= emit_stops)
 
     def cond(s):
-        return ~jnp.all(lane_done(s))
+        # scalar counter (maintained in the body, where the reduction fuses
+        # with other work) instead of a standalone all-lane reduce kernel
+        return s["n_active"] > 0
 
     def body(s):
         phase, cursor = s["phase"], s["cursor"]
@@ -102,52 +136,43 @@ def _seed_scan(dfm: DeviceFMIndex,
 
         # one shared gather: INIT lanes look at `cursor`, EXT at `ext_pos`
         look = jnp.where(in_ext, ext_pos, cursor)
-        pk = qtrips[jnp.clip(look, 0, Lpad - 1)]
-        b1 = pk >> 6
-        b2 = (pk >> 3) & 7
-        b3 = pk & 7
-        b1c = jnp.clip(b1, 0, 3)
-        b2c = jnp.clip(b2, 0, 3)
-        b3c = jnp.clip(b3, 0, 3)
-        real3 = (b1 <= 3) & (b2 <= 3) & (b3 <= 3)
-        cls3 = (3 - b3c) * 16 + (3 - b2c) * 4 + (3 - b1c)
+        row = poslut[jnp.clip(look, 0, Lpad - 1)]            # [B, 8]
+        i3_lo, i3_sz = row[:, 0], row[:, 1]
+        lo1, sz1 = row[:, 2], row[:, 3]
+        cls3 = row[:, 4].astype(i32)
+        flags = row[:, 5].astype(i32)
+        real3 = (flags & 1) > 0
+        b1ok = (flags & 2) > 0
+        cls1 = (flags >> 2) & 3
 
         # ---- INIT step ----
-        init_amb = b1 > 3
+        init_amb = ~b1ok
         # triple INIT: the interval of the first three appended bases is a
         # direct C64 range (rows whose suffix starts with the RC triple)
-        init_can3 = in_init & ~init_amb & real3 & (cursor + 2 < ext_stops)
+        init_can3 = in_init & b1ok & real3 & (cursor + 2 < ext_stops)
 
         # ---- EXT step: triple (3 bases) when possible, else single ----
         can3 = in_ext & (ext_pos + 2 < ext_stops) & real3 & ~tri_failed
-        cls = jnp.where(can3, cls3, 3 - b1c)
-
-        # ONE fused LUT gather serves the INIT intervals and the EXT bases
-        # (see DeviceFMIndex.lut): (lo, sz) per lane by mode
-        lut_idx = jnp.where(
-            in_ext,
-            jnp.where(can3, 68 + cls3, 132 + (3 - b1c)),
-            jnp.where(init_can3, cls3, 64 + b1c))
-        ent = dfm.lut[lut_idx]                 # [B, 2] rdtype
-        lo, sz = ent[:, 0], ent[:, 1]
+        cls = jnp.where(can3, cls3, cls1)
 
         # a dead triple INIT can only be a miss (len < 4 <= min_seed): same
         # outcome as the single-step path, cursor advances by one
-        init3_dead = init_can3 & (sz == 0)
+        init3_dead = init_can3 & (i3_sz == 0)
         start_ext3 = init_can3 & ~init3_dead
-        start_ext1 = in_init & ~init_amb & ~init_can3
+        start_ext1 = in_init & b1ok & ~init_can3
 
         cnt = rank_ops.occ_t3(
             dfm, jnp.concatenate([ik1, ik1 + ik2]),
             jnp.concatenate([can3, can3]),
             jnp.concatenate([cls, cls]))
         tk, tl = cnt[:B], cnt[B:]
-        e_ik1 = lo + tk
+        base = jnp.where(can3, i3_lo, lo1)
+        e_ik1 = base + tk
         e_ik2 = tl - tk
 
         # single-path termination (only reachable when can3 is False)
         hit_boundary = ext_pos >= ext_stops
-        hit_amb = b1 > 3
+        hit_amb = ~b1ok
         dead_end = (e_ik2 == 0) & ~can3
         finalize = in_ext & (hit_boundary | hit_amb | dead_end)
         # an extension clipped by an ARTIFICIAL boundary (speculative
@@ -198,19 +223,26 @@ def _seed_scan(dfm: DeviceFMIndex,
             start_ext3, cursor + 3,
             jnp.where(start_ext1, cursor + 1,
                       jnp.where(ext_ok, ext_pos + step, ext_pos)))
-        new_ik1 = jnp.where(start_ext, lo,
-                            jnp.where(ext_ok, e_ik1, ik1))
-        new_ik2 = jnp.where(start_ext, sz,
-                            jnp.where(ext_ok, e_ik2, ik2))
+        new_ik1 = jnp.where(start_ext3, i3_lo,
+                            jnp.where(start_ext1, lo1,
+                                      jnp.where(ext_ok, e_ik1, ik1)))
+        new_ik2 = jnp.where(start_ext3, i3_sz,
+                            jnp.where(start_ext1, sz1,
+                                      jnp.where(ext_ok, e_ik2, ik2)))
         new_tf = jnp.where(start_ext | finalize, False,
                            jnp.where(tri_miss, True,
                                      jnp.where(ext_ok, False, tri_failed)))
 
+        was_done = lane_done(phase, cursor)
+        now_done = lane_done(new_phase, new_cursor)
+        n_active = s["n_active"] - jnp.sum(now_done & ~was_done,
+                                           dtype=i32)
         return dict(
             phase=new_phase, cursor=new_cursor,
             ext_start=new_ext_start, ext_pos=new_ext_pos,
             ik1=new_ik1, ik2=new_ik2, tri_failed=new_tf,
             out=out, out_n=out_n, poison=new_poison,
+            n_active=n_active,
         )
 
     final = jax.lax.while_loop(cond, body, init_state)
@@ -363,7 +395,9 @@ def find_seeds_all(dfm: DeviceFMIndex,
     qc = np.full(total, 4, dtype=np.uint8)
     for codes, o in zip(codes_list, offs):
         qc[o:o + len(codes)] = codes
-    qc_dev = jnp.asarray(qc)
+    # one device-side precompute fuses the per-position 3-gram decode and
+    # the C64/L2 entries into a single gatherable row for the scan loop
+    qc_dev = _build_poslut(dfm, jnp.asarray(qc))
     if mesh is not None:
         from gsalign_tpu.parallel import mesh as mesh_lib
         qc_dev = jax.device_put(qc_dev, mesh_lib.replicated(mesh))
