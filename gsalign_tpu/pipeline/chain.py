@@ -112,71 +112,108 @@ def _remove_outlier_seeds(pd: np.ndarray, b_seed: np.ndarray,
 
 
 def _outlier_pass(q_pos, pd, b_seed, uniq, cfg, genome_size) -> None:
-    """The interval-driven outlier sweep (src/GSAlign.cpp:326-338)."""
+    """The interval-driven outlier sweep (src/GSAlign.cpp:326-338).
+
+    The reference walks every seed; here the walk jumps straight between
+    TRIGGERS (a unique seed with a PosDiff change, at least 30 uniques
+    after the last reset, spanning > 3000 bp) — triggers are >= 30 uniques
+    apart, so the python loop runs per interval, not per seed. The trigger
+    predicate reads only q_pos/pd/uniq (never b_seed), so precomputing it
+    is exact."""
     n = q_pos.shape[0]
-    i = 0
-    cnt = 1 if (n > 0 and uniq[0]) else 0
-    for j in range(1, n):
-        if uniq[j]:
-            if pd[j] == pd[j - 1]:
-                cnt += 1
-            else:
-                cnt += 1
-                if cnt >= 30 and q_pos[j] - q_pos[i] > 3000:
-                    _remove_outlier_seeds(pd, b_seed, uniq, i, j, cfg,
-                                          genome_size)
-                    i = j
-                    cnt = 0
-    _remove_outlier_seeds(pd, b_seed, uniq, i, n, cfg, genome_size)
+    if n == 0:
+        _remove_outlier_seeds(pd, b_seed, uniq, 0, n, cfg, genome_size)
+        return
+    u = np.nonzero(uniq)[0]
+    chg = np.zeros(u.size, dtype=bool)
+    nz = u > 0
+    chg[nz] = pd[u[nz]] != pd[u[nz] - 1]
+    i_full = 0
+    base = 0                  # uniques consumed before the current reset
+    while base + 29 < u.size:
+        cand = chg[base + 29:] & (q_pos[u[base + 29:]] - q_pos[i_full] > 3000)
+        ks = np.nonzero(cand)[0]
+        if ks.size == 0:
+            break
+        k = base + 29 + int(ks[0])
+        j = int(u[k])
+        _remove_outlier_seeds(pd, b_seed, uniq, i_full, j, cfg, genome_size)
+        i_full = j
+        base = k + 1          # the trigger unique was counted, then reset
+    _remove_outlier_seeds(pd, b_seed, uniq, i_full, n, cfg, genome_size)
 
 
 def _resolve_repeats(q_pos, pd, b_seed, uniq, cfg, genome_size) -> None:
     """Per equal-qPos run, keep the occurrence nearest the neighborhood
-    PosDiff average (src/GSAlign.cpp:178-225, 341-350)."""
+    PosDiff average (src/GSAlign.cpp:178-225, 341-350).
+
+    Fully vectorized: runs only kill NON-unique seeds while their neighbor
+    averages read unique live seeds (static during this pass), so runs are
+    independent. Neighbor windows (up to 5 unique live seeds either side)
+    come from prefix sums over the unique-live subsequence; the per-run
+    "first minimum" keep is a segmented reduce."""
     n = q_pos.shape[0]
+    if n == 0:
+        return
     runs_start = np.nonzero(np.concatenate(
         [[True], q_pos[1:] != q_pos[:-1]]))[0]
     runs_end = np.append(runs_start[1:], n)
-    for s, e in zip(runs_start, runs_end):
-        if e - s < 2:
-            continue
-        # FindNeighboringPosDiffAvg (src/GSAlign.cpp:178-206)
-        n1 = 0
-        sum1 = 0
-        for p1 in range(s - 1, -1, -1):
-            if uniq[p1] and b_seed[p1]:
-                n1 += 1
-                sum1 += int(pd[p1])
-                if n1 == 5:
-                    break
-        n2 = 0
-        sum2 = 0
-        p2 = e
-        while p2 < n and p2 > 0:
-            if uniq[p2] and b_seed[p2]:
-                n2 += 1
-                sum2 += int(pd[p2])
-                if n2 == 5:
-                    break
-            p2 += 1
-        if n1 > 0 or n2 > 0:
-            avg = _trunc_div(sum1 + sum2, n1 + n2)
-        else:
-            avg = int(pd[s])
-        # RemoveRedundantSeeds (src/GSAlign.cpp:208-225): strict < keeps the
-        # first minimum in scan order.
-        diffs = np.abs(pd[s:e] - avg)
-        ok = diffs < cfg.max_indel_size
-        keep = -1
-        best = genome_size
-        for k in range(e - s):
-            if ok[k] and diffs[k] < best:
-                best = int(diffs[k])
-                keep = k
-        sel = np.ones(e - s, dtype=bool)
-        if keep >= 0:
-            sel[keep] = False
-        b_seed[s:e][sel] = False
+    multi = (runs_end - runs_start) >= 2
+    rs = runs_start[multi]
+    re_ = runs_end[multi]
+    if rs.size == 0:
+        return
+
+    lu = np.nonzero(uniq & b_seed)[0]          # unique live positions
+    cpd = np.concatenate([[0], np.cumsum(pd[lu], dtype=np.int64)])
+    # previous up-to-5: lu indices in [pos-5, pos) where pos = count below s
+    p_hi = np.searchsorted(lu, rs)             # (strictly below s: lu < s)
+    p_lo = np.maximum(p_hi - 5, 0)
+    n1 = p_hi - p_lo
+    sum1 = cpd[p_hi] - cpd[p_lo]
+    # next up-to-5 starting at e (inclusive: original scans p2 = e, e+1, ...)
+    q_lo = np.searchsorted(lu, re_)
+    q_hi = np.minimum(q_lo + 5, lu.size)
+    n2 = q_hi - q_lo
+    sum2 = cpd[q_hi] - cpd[q_lo]
+
+    tot = n1 + n2
+    sums = sum1 + sum2
+    # C++ division truncates toward zero
+    safe_tot = np.maximum(tot, 1)
+    avg = np.where(tot > 0,
+                   np.sign(sums) * (np.abs(sums) // safe_tot),
+                   pd[rs])
+
+    # segmented first-minimum among |pd - avg| < max_indel_size
+    run_lens = re_ - rs
+    member = _segidx(rs, run_lens)
+    rid = np.repeat(np.arange(rs.size), run_lens)
+    diffs = np.abs(pd[member] - avg[rid])
+    ok = diffs < cfg.max_indel_size
+    dmask = np.where(ok, diffs, np.int64(genome_size) + 1)
+    bounds = np.concatenate([[0], np.cumsum(run_lens)])
+    runmin = np.minimum.reduceat(dmask, bounds[:-1])
+    is_min = ok & (dmask == runmin[rid])
+    # first minimal member per run (strict < keeps first in scan order)
+    hit = np.nonzero(is_min)[0]
+    if hit.size:
+        first_per_run = np.zeros(rs.size, dtype=np.int64) - 1
+        # reversed fill keeps the FIRST hit per run
+        first_per_run[rid[hit[::-1]]] = member[hit[::-1]]
+    else:
+        first_per_run = np.full(rs.size, -1, dtype=np.int64)
+    b_seed[member] = False
+    keepers = first_per_run[first_per_run >= 0]
+    b_seed[keepers] = True
+
+
+def _segidx(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    adj = starts.astype(np.int64) - (np.cumsum(lens, dtype=np.int64) - lens)
+    return np.repeat(adj, lens) + np.arange(total, dtype=np.int64)
 
 
 def _compact_kept(q_pos, r_pos, q_len, pd, b_seed):
