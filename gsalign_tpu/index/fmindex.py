@@ -97,23 +97,30 @@ def build_fmindex(genome: Genome, sa_intv: Optional[int] = None,
 
     primary = int(np.nonzero(sa_full == 0)[0][0])
     # ONE random gather serves BWT extraction, the order-3 BWT, and the C64
-    # keys: pack (text[i-3..i-1], text[i..i+2]) per position (3 bits each;
-    # out-of-range -> 0 on the left, 4 on the right).
-    ctx = np.zeros(n + 1, dtype=np.uint32)
-    t32 = text.astype(np.uint32)
-    ctx[3:] |= t32[:n - 2] << 15         # prev3
-    ctx[2:] |= t32[:n - 1] << 12         # prev2
-    ctx[1:] |= t32 << 9                  # prev1
-    ctx[:n] |= t32 << 6                  # cur   (position n: cur = 4 = $)
+    # keys: pack (text[i-3..i-1], text[i..i+2]) per position into 15 bits of
+    # a uint16 — prev chars are always 0..3 (2-bit fields, laid out so the
+    # order-3 symbol is a single shift+mask), cur/next may be 4 = $ (3-bit
+    # fields). Out-of-range -> 0 on the left, 4 on the right. uint16
+    # everywhere: this host's first-touch page faults make every full-length
+    # temporary expensive, so halving the bytes halves the build time.
+    ctx = np.zeros(n + 1, dtype=np.uint16)
+    t16 = text.astype(np.uint16)
+    ctx[3:] |= t16[:n - 2] << 13         # prev3
+    ctx[2:] |= t16[:n - 1] << 11         # prev2
+    ctx[1:] |= t16 << 9                  # prev1
+    ctx[:n] |= t16 << 6                  # cur   (position n: cur = 4 = $)
     ctx[n] |= 4 << 6
-    ctx[:n - 1] |= t32[1:] << 3          # nxt1
-    ctx[n - 1:] |= 4 << 3
-    ctx[:n - 2] |= t32[2:]               # nxt2
-    ctx[n - 2:] |= 4
+    ctx[:n - 1] |= t16[1:] << 3          # nxt1
+    ctx[n - 1:] |= np.uint16(4 << 3)
+    ctx[:n - 2] |= t16[2:]               # nxt2
+    ctx[n - 2:] |= np.uint16(4)
     g_ctx = ctx[sa_full]                 # [n+1] — the only big gather
 
+    # order-3 symbol per row: bits 9..14 == prev3*16 + prev2*4 + prev1
+    t3 = (g_ctx >> 9).astype(np.uint8)
+    t3 &= 0x3F
     mask = sa_full > 0
-    bcodes = ((g_ctx >> 9) & 7)[mask].astype(np.uint8)   # $-removed BWT
+    bcodes = (t3 & 3)[mask]              # $-removed BWT (prev1 field)
 
     counts = np.bincount(text, minlength=4)[:4]
     l2 = np.zeros(5, dtype=np.int64)
@@ -121,9 +128,13 @@ def build_fmindex(genome: Genome, sa_intv: Optional[int] = None,
 
     # occ checkpoints: exclusive cumulative per-char counts at block starts
     n_blocks = -(-n // OCC_INTERVAL)
-    ids = (np.arange(n, dtype=np.int64) >> 7) * 4 + bcodes
-    per_block = np.bincount(ids, minlength=n_blocks * 4).reshape(n_blocks, 4)
+    bpad = np.full(n_blocks * OCC_INTERVAL, 255, dtype=np.uint8)
+    bpad[:n] = bcodes
+    blk2d = bpad.reshape(n_blocks, OCC_INTERVAL)
     occ_cp = np.zeros((n_blocks, 4), dtype=np.int64)
+    per_block = np.empty((n_blocks, 4), dtype=np.int64)
+    for c in range(4):                   # bool temp per char beats 8B ids
+        per_block[:, c] = np.count_nonzero(blk2d == c, axis=1)
     occ_cp[1:] = np.cumsum(per_block, axis=0)[:-1]
     cp_dtype = np.int64 if wide else np.int32
     occ_cp = occ_cp.astype(cp_dtype)
@@ -139,7 +150,7 @@ def build_fmindex(genome: Genome, sa_intv: Optional[int] = None,
     sa_samples = sa_full[::sa_intv].astype(sa_dtype)
 
     t3_packed, t3_cp, c64, t3_exc_pos, t3_exc_chr = _build_t3_index(
-        sa_full, g_ctx, text, n, cp_dtype)
+        sa_full, g_ctx, t3, text, n, cp_dtype)
 
     return FMIndex(
         seq_len=n, primary=primary, l2=l2, bwt_packed=bwt_packed,
@@ -149,7 +160,7 @@ def build_fmindex(genome: Genome, sa_intv: Optional[int] = None,
     )
 
 
-def _build_t3_index(sa_full: np.ndarray, g_ctx: np.ndarray,
+def _build_t3_index(sa_full: np.ndarray, g_ctx: np.ndarray, t3: np.ndarray,
                     text: np.ndarray, n: int, cp_dtype=np.int32):
     """Order-3 (alphabet-64) BWT over all SA_full rows: T3[i] = the three
     bases preceding suffix SA[i] as T[SA-3]*16 + T[SA-2]*4 + T[SA-1]. Rows
@@ -159,14 +170,10 @@ def _build_t3_index(sa_full: np.ndarray, g_ctx: np.ndarray,
     One backward step with a triple symbol consumes three query bases — a
     third of the rank queries of the seeding scan vs single-char stepping.
 
-    g_ctx is the pre-gathered packed context per SA row (see build_fmindex).
+    g_ctx is the pre-gathered packed context per SA row and t3 the order-3
+    symbol array already extracted from it (see build_fmindex).
     """
     rows = n + 1
-    # narrow dtypes throughout: this host is memory-bandwidth-bound, and
-    # int64 temporaries over 2N-length arrays dominate build time otherwise.
-    t3 = (((g_ctx >> 15) & np.uint32(7)) * 16
-          + ((g_ctx >> 12) & np.uint32(7)) * 4
-          + ((g_ctx >> 9) & np.uint32(7))).astype(np.uint8)
     small = np.nonzero(sa_full < 3)[0]          # exceptions: SA in {0, 1, 2}
     t3_exc_pos = small.astype(cp_dtype)
     assert t3_exc_pos.shape[0] == 3
@@ -180,13 +187,13 @@ def _build_t3_index(sa_full: np.ndarray, g_ctx: np.ndarray,
     # each char mapped to c+1 and a missing char (field == 4: the $ row or a
     # short suffix) to 0 — $ sorts below every real char, so key order
     # matches suffix order and a searchsorted per class recovers the block
-    # starts.
-    cur = (g_ctx >> 6) & np.uint32(7)
-    nx1 = (g_ctx >> 3) & np.uint32(7)
-    nx2 = g_ctx & np.uint32(7)
-    tc = lambda f: np.where(f == 4, 0, f + 1).astype(np.uint8)
-    keys = (tc(cur) * np.uint8(25) + tc(nx1) * np.uint8(5)
-            + tc(nx2)).astype(np.uint8)
+    # starts. The low 9 ctx bits are (cur<<6 | nxt1<<3 | nxt2), so one
+    # 512-entry LUT turns the whole key computation into a single gather.
+    lut_f = np.arange(512) >> np.array([[6], [3], [0]])  # [3, 512] fields
+    lut_f &= 7
+    key_lut = (np.where(lut_f == 4, 0, lut_f + 1)
+               * np.array([[25], [5], [1]])).sum(0).astype(np.uint8)
+    keys = key_lut[g_ctx & np.uint16(0x1FF)]
     cls = np.arange(64)
     qkeys = ((cls >> 4) + 1) * 25 + (((cls >> 2) & 3) + 1) * 5 + (cls & 3) + 1
     c64 = np.empty(65, dtype=np.int64)
@@ -198,13 +205,17 @@ def _build_t3_index(sa_full: np.ndarray, g_ctx: np.ndarray,
     # per row, which at >2^31 rows dominated the build's memory footprint
     n3_blocks = rows // T3_BLOCK + 1
     t3_cp = np.zeros((n3_blocks + 1, 64), dtype=np.int64)
-    SLAB = 1 << 27                      # rows per slab (multiple of 128)
+    # small slabs keep each bincount's bin range (slab/128*64 ids) inside
+    # L2 — the same bincount over one 2^27 slab is 36x slower (cache-miss
+    # random increments across a ~100 MB bin array)
+    SLAB = 1 << 18                      # rows per slab (multiple of 128)
     for s in range(0, rows, SLAB):
         e = min(s + SLAB, rows)
         b0 = s >> 7
         nb = ((e - 1) >> 7) - b0 + 1
-        ids = (np.arange(s, e, dtype=np.int64) >> 7) * 64 + t3[s:e] \
-            - b0 * 64
+        ids = np.repeat(np.arange(nb, dtype=np.int32) << 6, T3_BLOCK)
+        ids = ids[:e - s]
+        ids += t3[s:e]
         cnt = np.bincount(ids, minlength=nb * 64).reshape(nb, 64)
         t3_cp[b0 + 1: b0 + 1 + nb] += cnt      # shifted: exclusive cumsum
     np.cumsum(t3_cp, axis=0, out=t3_cp)

@@ -43,12 +43,20 @@ def fragpair_mismatch(ref_chars: np.ndarray, qry_chars: np.ndarray,
 
 def _segment_indices(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Concatenated [starts[i], starts[i]+lens[i]) ranges: ONE repeat of the
-    (start - flat offset) deltas plus an arange (hot path of the writers)."""
+    (start - flat offset) deltas plus an in-place arange add (hot path of
+    the writers). int32 when the index space allows — at multi-Mb row sizes
+    the first-touch page faults of fresh int64 temporaries dominate the
+    writers' host time, so halving the bytes matters more than the ALU."""
     total = int(lens.sum())
     if total == 0:
         return np.zeros(0, dtype=np.int64)
-    adj = starts.astype(np.int64) - (np.cumsum(lens, dtype=np.int64) - lens)
-    return np.repeat(adj, lens) + np.arange(total, dtype=np.int64)
+    hi = int(starts.max()) + total
+    dtype = np.int32 if (total < 2**31 and hi < 2**31) else np.int64
+    adj = (starts.astype(np.int64)
+           - (np.cumsum(lens, dtype=np.int64) - lens)).astype(dtype)
+    out = np.repeat(adj, lens)
+    out += np.arange(total, dtype=dtype)
+    return out
 
 
 def pair_rows(blk: Block, j: int, qry_chars: np.ndarray,

@@ -50,8 +50,8 @@ def _build_rows(blk: Block, qry_chars: np.ndarray, ref_chars: np.ndarray):
                        np.where(has_aln, 0,
                                 np.maximum(blk.q_len, blk.r_len)))
     dp_idx = np.nonzero(has_aln & ~blk.b_seed)[0]
-    for j in dp_idx:
-        row_len[j] = len(blk.aln1[j])
+    if dp_idx.size:
+        row_len[dp_idx] = [len(blk.aln1[j]) for j in dp_idx]
     offs = np.concatenate([[0], np.cumsum(row_len)])
     total = int(offs[-1])
 
@@ -60,13 +60,25 @@ def _build_rows(blk: Block, qry_chars: np.ndarray, ref_chars: np.ndarray):
     gap_r = (~seeds) & ~has_aln & (blk.q_len == 0)
     gap_q = (~seeds) & ~has_aln & (blk.r_len == 0) & (blk.q_len > 0)
 
-    # one segmented fill: query chars for every query-consuming pair
-    a2 = np.full(total, _GAP, dtype=np.uint8)
-    qcons = np.nonzero(seeds | direct | gap_q)[0]
-    if qcons.size:
-        lens = row_len[qcons]
-        dst = _segment_indices(offs[qcons], lens)
-        a2[dst] = qry_chars[_segment_indices(blk.q_pos[qcons], lens)]
+    # Query row via ONE direct gather over the whole row: per-pair source
+    # deltas (q_pos - row offset for query-consuming pairs; harmless small
+    # indices elsewhere, overwritten below) repeated to row length plus an
+    # in-place arange. No scatter pass, no second full-size index array.
+    qcons = seeds | direct | gap_q
+    qn = int(qry_chars.shape[0])
+    idt = np.int32 if (total < 2**31 and qn < 2**31) else np.int64
+    qdelta = (np.where(qcons, blk.q_pos, 0).astype(np.int64)
+              - offs[:-1]).astype(idt)
+    src = np.repeat(qdelta, row_len)
+    src += np.arange(total, dtype=idt)
+    np.minimum(src, idt(qn - 1), out=src)   # bound non-qcons garbage spans
+    a2 = qry_chars[src]
+    ridx = np.nonzero(gap_r)[0]
+    if ridx.size:                      # deletion spans: query row is gaps
+        a2[_segment_indices(offs[ridx], row_len[ridx])] = _GAP
+    for j in dp_idx:
+        o = int(offs[j])
+        a2[o:o + row_len[j]] = blk.aln2[j]
     a1 = a2.copy()
 
     didx = np.nonzero(direct)[0]
@@ -77,7 +89,6 @@ def _build_rows(blk: Block, qry_chars: np.ndarray, ref_chars: np.ndarray):
         rch = ref_chars[rid]
         diff = rch != a1[dstd]
         a1[dstd[diff]] = rch[diff]
-    ridx = np.nonzero(gap_r)[0]
     if ridx.size:                      # deletions: ref chars, a2 stays '-'
         lens = row_len[ridx]
         a1[_segment_indices(offs[ridx], lens)] = \
@@ -89,7 +100,6 @@ def _build_rows(blk: Block, qry_chars: np.ndarray, ref_chars: np.ndarray):
     for j in dp_idx:
         o = int(offs[j])
         a1[o:o + row_len[j]] = blk.aln1[j]
-        a2[o:o + row_len[j]] = blk.aln2[j]
     return a1, a2
 
 
