@@ -24,29 +24,32 @@ from gsalign_tpu.index.fmindex import FMIndex, WORDS_PER_BLOCK
 
 
 UNION_ROW = 16   # uint32 words per row of the single-char rank table
-T3_ROW = 96      # uint32 words per row of the order-3 rank table (narrow)
-T3_ROW_WIDE = 100  # wide rows add 4 carry words (2 bits/class: cp bits 32-33)
+T3_ROW_WIDE = 100  # wide fused rows: 64 cp-low + 4 carry words + 32 syms
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["union", "t3", "l2", "sa_samples", "c64",
-                      "t3_exc_pos", "t3_exc_chr", "lut"],
+         data_fields=["union", "t3", "t3_syms", "cp_flat", "l2",
+                      "sa_samples", "c64", "t3_exc_pos", "t3_exc_chr", "lut"],
          meta_fields=["seq_len", "primary", "sa_intv", "wide"])
 @dataclasses.dataclass(frozen=True)
 class DeviceFMIndex:
-    # Two fused rank tables, the device analogue of the reference's
-    # interleaved .bwt layout (src/BWT_Index/bwtindex.c:53-75); every rank
-    # query is ONE contiguous row gather:
+    # Rank tables, the device analogue of the reference's interleaved .bwt
+    # layout (src/BWT_Index/bwtindex.c:53-75):
     #  union: single-char blocks of 128 bases
     #        [cp0..cp3 | 8 packed words (2b/base) | 0...]
-    #  t3:    order-3 blocks of 128 symbols
-    #        narrow: [cp0..cp63 | 32 packed words (8b/sym, MSB-first)]
-    #        wide:   [cp-low0..63 | 4 carry words | 32 packed words]
-    # wide indexes (seq_len >= 2^31, the reference's 64-bit bwtint_t regime,
-    # src/BWT_Index/bwt.h:36-40) store int64 checkpoints as u32 low words
-    # plus a 2-bit carry per class; all interval arithmetic runs in int64.
+    #  narrow order-3 layout (seq_len < 2^31) is SPLIT per query:
+    #    cp_flat[block*64 + cls]            triple-class checkpoint (4 B)
+    #    cp_flat[n3*64 + block*4 + c]       single-char checkpoint (4 B)
+    #    t3_syms[block]                     the 128 packed symbols (128 B)
+    #  — a rank query moves ~132 B instead of a fused 384 B row. Seeding is
+    #  gather-bandwidth-bound at scale, so row bytes are the unit of cost.
+    #  wide (seq_len >= 2^31, the reference's 64-bit bwtint_t regime,
+    #  src/BWT_Index/bwt.h:36-40) keeps the fused row: [cp-low0..63 |
+    #  4 carry words (2 bits/class: cp bits 32-33) | 32 packed words].
     union: jnp.ndarray        # uint32 [n_rows, 16] (narrow only; [1,16] wide)
-    t3: jnp.ndarray           # uint32 [n3_rows, 96 | 100]
+    t3: jnp.ndarray           # uint32 [n3_rows, 100] (wide) | [1, 1] (narrow)
+    t3_syms: jnp.ndarray      # uint32 [n3_rows, 32] (narrow) | [1, 1] (wide)
+    cp_flat: jnp.ndarray      # int32 [n3_rows*68] (narrow) | [1] (wide)
     l2: jnp.ndarray           # rdtype [5]
     sa_samples: jnp.ndarray   # rdtype [n_samples]
     c64: jnp.ndarray          # rdtype [65]
@@ -69,10 +72,6 @@ class DeviceFMIndex:
     def rdtype(self):
         return jnp.int64 if self.wide else jnp.int32
 
-    @property
-    def sym_base(self) -> int:
-        return 68 if self.wide else 64
-
     @staticmethod
     def from_host(fm: FMIndex) -> "DeviceFMIndex":
         cached = getattr(fm, "_device_cache", None)
@@ -80,6 +79,7 @@ class DeviceFMIndex:
             return cached
         wide = fm.rank_dtype == np.int64
         n3 = fm.t3_cp.shape[0]
+        dummy = np.zeros((1, 1), dtype=np.uint32)
         if wide:
             union = np.zeros((1, UNION_ROW), dtype=np.uint32)
             rows3 = np.empty((n3, T3_ROW_WIDE), dtype=np.uint32)
@@ -90,16 +90,22 @@ class DeviceFMIndex:
             shifts = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
             rows3[:, 64:68] = np.bitwise_or.reduce(cw << shifts, axis=2)
             rows3[:, 68:] = fm.t3_packed.reshape(n3, 32)
+            t3_syms = dummy
+            cp_flat = np.zeros(1, dtype=np.int32)
         else:
             n1 = fm.occ_cp.shape[0]
             union = np.zeros((n1, UNION_ROW), dtype=np.uint32)
             union[:, :4] = fm.occ_cp.astype(np.int32).view(
                 np.uint32).reshape(n1, 4)
             union[:, 4:12] = fm.bwt_packed.reshape(n1, WORDS_PER_BLOCK)
-            rows3 = np.empty((n3, T3_ROW), dtype=np.uint32)
-            rows3[:, :64] = fm.t3_cp.astype(np.int32).view(
-                np.uint32).reshape(n3, 64)
-            rows3[:, 64:] = fm.t3_packed.reshape(n3, 32)
+            rows3 = dummy
+            t3_syms = fm.t3_packed.reshape(n3, 32)
+            cp3 = fm.t3_cp.astype(np.int32)                  # [n3, 64]
+            # single-char checkpoints derive from the triple classes: the
+            # stored symbol's low 2 bits are the true preceding char (minus
+            # the SA<3 exceptions, corrected at query time)
+            cp1 = cp3.reshape(n3, 16, 4).sum(axis=1, dtype=np.int32)
+            cp_flat = np.concatenate([cp3.ravel(), cp1.ravel()])
         lut = np.zeros((136, 2), dtype=np.int64)
         c64 = np.asarray(fm.c64, dtype=np.int64)
         l2 = np.asarray(fm.l2, dtype=np.int64)
@@ -113,6 +119,8 @@ class DeviceFMIndex:
         dfm = DeviceFMIndex(
             union=jnp.asarray(union),
             t3=jnp.asarray(rows3),
+            t3_syms=jnp.asarray(t3_syms),
+            cp_flat=jnp.asarray(cp_flat),
             l2=jnp.asarray(fm.l2, dtype=rdt),
             sa_samples=jnp.asarray(fm.sa_samples, dtype=rdt),
             c64=jnp.asarray(fm.c64, dtype=rdt),
@@ -236,11 +244,11 @@ def occ_t3(dfm: DeviceFMIndex, k: jnp.ndarray,
     """
     rdt = dfm.rdtype
     cls = cls.astype(jnp.int32)
-    row = dfm.t3[k >> 7]                                     # [B, W] uint32
-    iota = jnp.arange(64, dtype=jnp.int32)[None, :]
-    want = jnp.where(is_triple[:, None], iota == cls[:, None],
-                     (iota & 3) == cls[:, None])
     if dfm.wide:
+        row = dfm.t3[k >> 7]                                 # [B, 100] uint32
+        iota = jnp.arange(64, dtype=jnp.int32)[None, :]
+        want = jnp.where(is_triple[:, None], iota == cls[:, None],
+                         (iota & 3) == cls[:, None])
         lo = row[:, :64].astype(jnp.int64)                   # u32 -> exact
         cw = row[:, 64:68]
         carr = (cw[:, :, None] >> (jnp.arange(16, dtype=jnp.uint32) * 2)
@@ -248,11 +256,16 @@ def occ_t3(dfm: DeviceFMIndex, k: jnp.ndarray,
         cp = lo + (carr.reshape(lo.shape[0], 64).astype(jnp.int64)
                    << jnp.int64(32))
         cp_sel = jnp.sum(jnp.where(want, cp, 0), axis=1, dtype=jnp.int64)
+        words = row[:, 68:]                                  # [B, 32] uint32
     else:
-        cp = row[:, :64].astype(jnp.int32)
-        cp_sel = jnp.sum(jnp.where(want, cp, 0), axis=1, dtype=jnp.int32)
-
-    words = row[:, dfm.sym_base:]                            # [B, 32] uint32
+        # split layout: one 4-byte checkpoint gather (triple classes and
+        # single chars live in one flat table) + one 128-byte symbol row
+        block = (k >> 7).astype(jnp.int32)
+        n3 = dfm.t3_syms.shape[0]
+        cpi = jnp.where(is_triple, block * 64 + cls,
+                        n3 * 64 + block * 4 + cls)
+        cp_sel = dfm.cp_flat[cpi]                            # [B] int32
+        words = dfm.t3_syms[block]                           # [B, 32] uint32
     j32 = jnp.arange(32, dtype=jnp.int32)[None, :]
     m = (k & 127).astype(jnp.int32)[:, None]
     keep = jnp.clip(m - 4 * j32, 0, 4)
@@ -320,7 +333,7 @@ def lf_t3(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     LF(k) = L2[c] + 1 + strict_rank1(c, k) for c = the char preceding row
     k's suffix; the SA==0 row maps to the sentinel row 0."""
     B = k.shape[0]
-    row_syms = dfm.t3[k >> 7, dfm.sym_base:]                 # [B, 32]
+    row_syms = dfm.t3[k >> 7, 68:] if dfm.wide else dfm.t3_syms[k >> 7]
     inb = (k & 127).astype(jnp.int32)
     w = jnp.take_along_axis(row_syms, (inb >> 2)[:, None], axis=1)[:, 0]
     sym = (w >> (((3 - (inb & 3)) * 8).astype(jnp.uint32))) & jnp.uint32(0xFF)

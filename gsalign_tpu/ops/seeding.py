@@ -114,6 +114,7 @@ def _seed_scan(dfm: DeviceFMIndex,
         poison=jnp.full(B, POISON_NONE, i32),
         # scalar live-lane counter (padded lanes are born done)
         n_active=jnp.sum(starts.astype(i32) < emit_stops, dtype=i32),
+        n_iter=jnp.zeros((), i32),
     )
 
     def lane_done(cur_phase, cur_cursor):
@@ -194,17 +195,18 @@ def _seed_scan(dfm: DeviceFMIndex,
             (0 if sensitive else 1) * (length + 1),
             ext_start + 1)
 
-        # emit into per-lane buffers (one packed scatter; with hundreds of
-        # lanes some lane emits nearly every iteration, so no cond guard)
+        # emit into per-lane buffers. One-hot select, NOT a scatter: XLA's
+        # TPU scatter serializes per lane (measured 1.17 ms/iter at 2048
+        # lanes vs 0.16 ms for the equivalent one-hot where over the whole
+        # [B, max_out, 4] buffer).
         slot = jnp.minimum(s["out_n"], max_out - 1)
         do_emit = is_hit & (s["out_n"] < max_out)
         record = jnp.stack([ext_start.astype(rdt), length.astype(rdt),
                             jnp.minimum(freq, max_seed_freq + 1), ik1],
                            axis=1)                                  # [B,4]
-        rows = jnp.arange(B)
-        old = s["out"][rows, slot]
-        out = s["out"].at[rows, slot].set(
-            jnp.where(do_emit[:, None], record, old))
+        hot = (jnp.arange(max_out, dtype=i32)[None, :] == slot[:, None]) \
+            & do_emit[:, None]                                   # [B, max_out]
+        out = jnp.where(hot[:, :, None], record[:, None, :], s["out"])
         out_n = s["out_n"] + do_emit.astype(i32)
 
         # ---- state updates ----
@@ -242,13 +244,14 @@ def _seed_scan(dfm: DeviceFMIndex,
             ext_start=new_ext_start, ext_pos=new_ext_pos,
             ik1=new_ik1, ik2=new_ik2, tri_failed=new_tf,
             out=out, out_n=out_n, poison=new_poison,
-            n_active=n_active,
+            n_active=n_active, n_iter=s["n_iter"] + 1,
         )
 
     final = jax.lax.while_loop(cond, body, init_state)
     o = final["out"]
     return (o[:, :, 0], o[:, :, 1], o[:, :, 3], o[:, :, 2],
-            final["out_n"], final["cursor"], final["poison"])
+            final["out_n"], final["cursor"], final["poison"],
+            final["n_iter"])
 
 
 def _next_pow2(n: int, floor: int = 64) -> int:
@@ -338,7 +341,7 @@ def _launch_scan(dfm, qc_dev, starts, emit_stops, ext_stops, hard_stops,
 
 def _fetch_scan(B, raw, max_out):
     """Bring one slab's results to host, trimmed to the used slot width."""
-    out_q, out_len, out_k0, out_freq, out_n, exits, poison = raw
+    out_q, out_len, out_k0, out_freq, out_n, exits, poison, _n_iter = raw
     n = np.asarray(out_n)[:B]
     exits = np.asarray(exits)[:B]
     poison = np.asarray(poison)[:B]

@@ -40,18 +40,7 @@ def frag_sharded(mesh: Mesh) -> NamedSharding:
 def shard_index(dfm: DeviceFMIndex, mesh: Mesh) -> DeviceFMIndex:
     """Replicate the FM-index arrays across the mesh."""
     rep = replicated(mesh)
-    return DeviceFMIndex(
-        union=jax.device_put(dfm.union, rep),
-        t3=jax.device_put(dfm.t3, rep),
-        l2=jax.device_put(dfm.l2, rep),
-        sa_samples=jax.device_put(dfm.sa_samples, rep),
-        c64=jax.device_put(dfm.c64, rep),
-        t3_exc_pos=jax.device_put(dfm.t3_exc_pos, rep),
-        t3_exc_chr=jax.device_put(dfm.t3_exc_chr, rep),
-        lut=jax.device_put(dfm.lut, rep),
-        seq_len=dfm.seq_len, primary=dfm.primary, sa_intv=dfm.sa_intv,
-        wide=dfm.wide,
-    )
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), dfm)
 
 
 def pad_to_multiple(n: int, m: int) -> int:
