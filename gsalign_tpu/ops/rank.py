@@ -28,7 +28,7 @@ T3_ROW_WIDE = 100  # wide fused rows: 64 cp-low + 4 carry words + 32 syms
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["union", "t3", "t3_syms", "cp_flat", "l2",
+         data_fields=["union", "t3", "l2",
                       "sa_samples", "c64", "t3_exc_pos", "t3_exc_chr", "lut"],
          meta_fields=["seq_len", "primary", "sa_intv", "wide"])
 @dataclasses.dataclass(frozen=True)
@@ -37,19 +37,16 @@ class DeviceFMIndex:
     # layout (src/BWT_Index/bwtindex.c:53-75):
     #  union: single-char blocks of 128 bases
     #        [cp0..cp3 | 8 packed words (2b/base) | 0...]
-    #  narrow order-3 layout (seq_len < 2^31) is SPLIT per query:
-    #    cp_flat[block*64 + cls]            triple-class checkpoint (4 B)
-    #    cp_flat[n3*64 + block*4 + c]       single-char checkpoint (4 B)
-    #    t3_syms[block]                     the 128 packed symbols (128 B)
-    #  — a rank query moves ~132 B instead of a fused 384 B row. Seeding is
-    #  gather-bandwidth-bound at scale, so row bytes are the unit of cost.
+    #  narrow order-3 layout (seq_len < 2^31): ONE fused 384 B row per
+    #    query, [64 triple-class checkpoints | 32 packed symbol words].
+    #    (A split 132 B/query layout was measured SLOWER on the v5e: XLA
+    #    gather cost is per-ROW, not per-byte, up to ~512 B rows — two
+    #    narrow gathers lose to one wide one.)
     #  wide (seq_len >= 2^31, the reference's 64-bit bwtint_t regime,
-    #  src/BWT_Index/bwt.h:36-40) keeps the fused row: [cp-low0..63 |
+    #  src/BWT_Index/bwt.h:36-40) widens the fused row: [cp-low0..63 |
     #  4 carry words (2 bits/class: cp bits 32-33) | 32 packed words].
     union: jnp.ndarray        # uint32 [n_rows, 16] (narrow only; [1,16] wide)
-    t3: jnp.ndarray           # uint32 [n3_rows, 100] (wide) | [1, 1] (narrow)
-    t3_syms: jnp.ndarray      # uint32 [n3_rows, 32] (narrow) | [1, 1] (wide)
-    cp_flat: jnp.ndarray      # int32 [n3_rows*68] (narrow) | [1] (wide)
+    t3: jnp.ndarray           # uint32 [n3_rows, 96] narrow | [n3, 100] wide
     l2: jnp.ndarray           # rdtype [5]
     sa_samples: jnp.ndarray   # rdtype [n_samples]
     c64: jnp.ndarray          # rdtype [65]
@@ -79,7 +76,6 @@ class DeviceFMIndex:
             return cached
         wide = fm.rank_dtype == np.int64
         n3 = fm.t3_cp.shape[0]
-        dummy = np.zeros((1, 1), dtype=np.uint32)
         if wide:
             union = np.zeros((1, UNION_ROW), dtype=np.uint32)
             rows3 = np.empty((n3, T3_ROW_WIDE), dtype=np.uint32)
@@ -90,22 +86,16 @@ class DeviceFMIndex:
             shifts = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
             rows3[:, 64:68] = np.bitwise_or.reduce(cw << shifts, axis=2)
             rows3[:, 68:] = fm.t3_packed.reshape(n3, 32)
-            t3_syms = dummy
-            cp_flat = np.zeros(1, dtype=np.int32)
         else:
             n1 = fm.occ_cp.shape[0]
             union = np.zeros((n1, UNION_ROW), dtype=np.uint32)
             union[:, :4] = fm.occ_cp.astype(np.int32).view(
                 np.uint32).reshape(n1, 4)
             union[:, 4:12] = fm.bwt_packed.reshape(n1, WORDS_PER_BLOCK)
-            rows3 = dummy
-            t3_syms = fm.t3_packed.reshape(n3, 32)
             cp3 = fm.t3_cp.astype(np.int32)                  # [n3, 64]
-            # single-char checkpoints derive from the triple classes: the
-            # stored symbol's low 2 bits are the true preceding char (minus
-            # the SA<3 exceptions, corrected at query time)
-            cp1 = cp3.reshape(n3, 16, 4).sum(axis=1, dtype=np.int32)
-            cp_flat = np.concatenate([cp3.ravel(), cp1.ravel()])
+            rows3 = np.empty((n3, 96), dtype=np.uint32)
+            rows3[:, :64] = cp3.view(np.uint32)
+            rows3[:, 64:] = fm.t3_packed.reshape(n3, 32)
         lut = np.zeros((136, 2), dtype=np.int64)
         c64 = np.asarray(fm.c64, dtype=np.int64)
         l2 = np.asarray(fm.l2, dtype=np.int64)
@@ -119,8 +109,6 @@ class DeviceFMIndex:
         dfm = DeviceFMIndex(
             union=jnp.asarray(union),
             t3=jnp.asarray(rows3),
-            t3_syms=jnp.asarray(t3_syms),
-            cp_flat=jnp.asarray(cp_flat),
             l2=jnp.asarray(fm.l2, dtype=rdt),
             sa_samples=jnp.asarray(fm.sa_samples, dtype=rdt),
             c64=jnp.asarray(fm.c64, dtype=rdt),
@@ -258,14 +246,14 @@ def occ_t3(dfm: DeviceFMIndex, k: jnp.ndarray,
         cp_sel = jnp.sum(jnp.where(want, cp, 0), axis=1, dtype=jnp.int64)
         words = row[:, 68:]                                  # [B, 32] uint32
     else:
-        # split layout: one 4-byte checkpoint gather (triple classes and
-        # single chars live in one flat table) + one 128-byte symbol row
-        block = (k >> 7).astype(jnp.int32)
-        n3 = dfm.t3_syms.shape[0]
-        cpi = jnp.where(is_triple, block * 64 + cls,
-                        n3 * 64 + block * 4 + cls)
-        cp_sel = dfm.cp_flat[cpi]                            # [B] int32
-        words = dfm.t3_syms[block]                           # [B, 32] uint32
+        # fused narrow rows: ONE 384 B gather per query
+        row = dfm.t3[k >> 7]                                 # [B, 96] uint32
+        iota = jnp.arange(64, dtype=jnp.int32)[None, :]
+        want = jnp.where(is_triple[:, None], iota == cls[:, None],
+                         (iota & 3) == cls[:, None])
+        cp = row[:, :64].astype(jnp.int32)
+        cp_sel = jnp.sum(jnp.where(want, cp, 0), axis=1, dtype=jnp.int32)
+        words = row[:, 64:]
     j32 = jnp.arange(32, dtype=jnp.int32)[None, :]
     m = (k & 127).astype(jnp.int32)[:, None]
     keep = jnp.clip(m - 4 * j32, 0, 4)
@@ -333,7 +321,7 @@ def lf_t3(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     LF(k) = L2[c] + 1 + strict_rank1(c, k) for c = the char preceding row
     k's suffix; the SA==0 row maps to the sentinel row 0."""
     B = k.shape[0]
-    row_syms = dfm.t3[k >> 7, 68:] if dfm.wide else dfm.t3_syms[k >> 7]
+    row_syms = dfm.t3[k >> 7, 68:] if dfm.wide else dfm.t3[k >> 7, 64:]
     inb = (k & 127).astype(jnp.int32)
     w = jnp.take_along_axis(row_syms, (inb >> 2)[:, None], axis=1)[:, 0]
     sym = (w >> (((3 - (inb & 3)) * 8).astype(jnp.uint32))) & jnp.uint32(0xFF)
