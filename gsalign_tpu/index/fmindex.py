@@ -53,6 +53,12 @@ class FMIndex:
     c64: Optional[np.ndarray] = None           # int64 [65]
     t3_exc_pos: Optional[np.ndarray] = None    # int32 [3] ranks with SA < 3
     t3_exc_chr: Optional[np.ndarray] = None    # int32 [3] true prev char|-1
+    # order-8 jump table: c8[g] = (SA interval start, size) of the suffix
+    # block whose first 8 chars are 8-mer g. Seeding INIT consumes 8 query
+    # bases with ZERO rank queries (an empty interval proves the local match
+    # is < 8 < MinSeedLength, i.e. a miss — exactly the reference scan's
+    # outcome, src/GSAlign.cpp:75-86).
+    c8: Optional[np.ndarray] = None            # int64 [65536, 2]
 
     @property
     def rank_dtype(self):
@@ -151,13 +157,44 @@ def build_fmindex(genome: Genome, sa_intv: Optional[int] = None,
 
     t3_packed, t3_cp, c64, t3_exc_pos, t3_exc_chr = _build_t3_index(
         sa_full, g_ctx, t3, text, n, cp_dtype)
+    c8 = _build_c8(text, n)
 
     return FMIndex(
         seq_len=n, primary=primary, l2=l2, bwt_packed=bwt_packed,
         occ_cp=occ_cp, sa_samples=sa_samples, sa_intv=sa_intv, genome=genome,
         t3_packed=t3_packed, t3_cp=t3_cp, c64=c64,
-        t3_exc_pos=t3_exc_pos, t3_exc_chr=t3_exc_chr,
+        t3_exc_pos=t3_exc_pos, t3_exc_chr=t3_exc_chr, c8=c8,
     )
+
+
+def _build_c8(text: np.ndarray, n: int) -> np.ndarray:
+    """Order-8 jump table, built WITHOUT touching the suffix array.
+
+    Suffix order coarsened to 8-char granularity equals the order of base-5
+    keys over the first 8 chars with char c -> c+1 and a missing char (the
+    $ row / short suffixes) -> 0 (the same argument as the C64 build above:
+    $ sorts below every real char). So the start of 8-mer g's suffix block
+    is #{rows with key < key(g)} and its size is #{rows with key == key(g)}
+    — both read off an exclusive-cumsum'd bincount over the 5^8 key space.
+    """
+    key = np.zeros(n + 1, dtype=np.int32)
+    tp = text.astype(np.int32) + 1
+    w = 1
+    for j in range(7, -1, -1):           # key += (t[i+j]+1) * 5^(7-j)
+        key[:n - j] += tp[j:] * w
+        w *= 5
+    counts = np.bincount(key, minlength=5 ** 8).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    # map the 4^8 real 8-mers into the 5^8 key space; 8-mer id g stores its
+    # FIRST char in the HIGH 2 bits (same convention as the C64 classes)
+    g = np.arange(65536, dtype=np.int64)
+    key8 = np.zeros(65536, dtype=np.int64)
+    for p in range(8):                   # p = char position, 0 = first
+        key8 += (((g >> (2 * (7 - p))) & 3) + 1) * 5 ** (7 - p)
+    out = np.empty((65536, 2), dtype=np.int64)
+    out[:, 0] = starts[key8]
+    out[:, 1] = counts[key8]
+    return out
 
 
 def _build_t3_index(sa_full: np.ndarray, g_ctx: np.ndarray, t3: np.ndarray,

@@ -14,7 +14,7 @@ import numpy as np
 from gsalign_tpu.genome.packing import Genome, Hole
 from gsalign_tpu.index.fmindex import FMIndex
 
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4
 
 
 def save_index(fm: FMIndex, prefix: str) -> None:
@@ -38,7 +38,7 @@ def save_index(fm: FMIndex, prefix: str) -> None:
         sa_samples=fm.sa_samples, codes_fwd=g.codes_fwd,
         lengths=g.lengths, offsets=g.offsets,
         t3_packed=fm.t3_packed, t3_cp=fm.t3_cp, c64=fm.c64,
-        t3_exc_pos=fm.t3_exc_pos, t3_exc_chr=fm.t3_exc_chr,
+        t3_exc_pos=fm.t3_exc_pos, t3_exc_chr=fm.t3_exc_chr, c8=fm.c8,
     )
 
 
@@ -74,4 +74,5 @@ def load_index(prefix: str) -> FMIndex:
         c64=data["c64"],
         t3_exc_pos=data["t3_exc_pos"],
         t3_exc_chr=data["t3_exc_chr"],
+        c8=data["c8"],
     )

@@ -29,8 +29,9 @@ T3_ROW_WIDE = 100  # wide fused rows: 64 cp-low + 4 carry words + 32 syms
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["union", "t3", "l2",
-                      "sa_samples", "c64", "t3_exc_pos", "t3_exc_chr", "lut"],
-         meta_fields=["seq_len", "primary", "sa_intv", "wide"])
+                      "sa_samples", "c64", "t3_exc_pos", "t3_exc_chr", "lut",
+                      "c8lut", "text_rows"],
+         meta_fields=["seq_len", "primary", "sa_intv", "wide", "direct_ok"])
 @dataclasses.dataclass(frozen=True)
 class DeviceFMIndex:
     # Rank tables, the device analogue of the reference's interleaved .bwt
@@ -60,10 +61,20 @@ class DeviceFMIndex:
     #  rows  68..131  triple EXT base (C64[g], 0)
     #  rows 132..135  single EXT base by class c (L2[c]+1, 0)
     lut: jnp.ndarray          # rdtype [136, 2]
+    # Order-8 INIT jump: (interval start, size) of the suffix block of every
+    # 8-mer (fmindex._build_c8). One poslut gather replaces the first 8
+    # bases' worth of rank queries in the seeding scan.
+    c8lut: jnp.ndarray        # rdtype [65536, 2]
+    # Overlapping 512-base windows of the packed fwd+RC text at stride 256:
+    # row r = words [16r, 16r+32). Direct-extension seeding (unique-interval
+    # lanes compare text to query 256 bases per gather) reads these; a [1,1]
+    # dummy when direct mode is off (sampled SA / wide).
+    text_rows: jnp.ndarray    # uint32 [ceil(2N/256), 32] | [1, 1]
     seq_len: int
     primary: int
     sa_intv: int
     wide: bool
+    direct_ok: bool
 
     @property
     def rdtype(self):
@@ -106,6 +117,21 @@ class DeviceFMIndex:
             lut[132 + c, 0] = l2[c] + 1
         lut[68:132, 0] = c64[:64]
         rdt = jnp.int64 if wide else jnp.int32
+        direct_ok = (fm.sa_intv == 1) and not wide and fm.genome is not None
+        if direct_ok:
+            from gsalign_tpu.index.fmindex import pack_bwt_codes
+            text = fm.genome.codes_fwd_rc()
+            n_rows_t = -(-fm.seq_len // 256)
+            padded = np.zeros((n_rows_t + 1) * 256, dtype=np.uint8)
+            padded[:fm.seq_len] = text
+            pk = pack_bwt_codes(padded).reshape(n_rows_t + 1, 16)
+            text_rows = np.concatenate([pk[:-1], pk[1:]], axis=1)
+        else:
+            text_rows = np.zeros((1, 1), dtype=np.uint32)
+        c8 = fm.c8
+        if c8 is None:                     # pre-v4 in-memory index
+            from gsalign_tpu.index.fmindex import _build_c8
+            c8 = _build_c8(fm.genome.codes_fwd_rc(), fm.seq_len)
         dfm = DeviceFMIndex(
             union=jnp.asarray(union),
             t3=jnp.asarray(rows3),
@@ -115,10 +141,13 @@ class DeviceFMIndex:
             t3_exc_pos=jnp.asarray(fm.t3_exc_pos, dtype=rdt),
             t3_exc_chr=jnp.asarray(fm.t3_exc_chr, dtype=jnp.int32),
             lut=jnp.asarray(lut, dtype=rdt),
+            c8lut=jnp.asarray(c8, dtype=rdt),
+            text_rows=jnp.asarray(text_rows),
             seq_len=int(fm.seq_len),
             primary=int(fm.primary),
             sa_intv=int(fm.sa_intv),
             wide=wide,
+            direct_ok=direct_ok,
         )
         fm._device_cache = dfm
         return dfm

@@ -18,13 +18,24 @@ Lane state machine (exact emulation of IdentifyLocalMEM + BWT_Search):
         miss -> cursor = ext_start + 1.
 Lane done when cursor >= stop in INIT phase.
 
-Speed: steps consume THREE bases at a time through the order-3 rank table
-(ops/rank.occ_t3) whenever three unambiguous in-chunk bases remain; INIT
-seeds the interval for the first three bases directly from the C64 table
-(no rank query). Single-base steps take over near boundaries, at ambiguous
-bases, and after a triple miss, so the emitted seed set is exactly the
-reference scan's (every intermediate interval a triple skips is uniquely
-determined, and the death position is re-found by the single steps).
+Speed (three stacked shortcuts, all exactly seed-set-preserving):
+  INIT-8:  the interval of the first EIGHT appended bases is a direct
+           c8 table row (rank.DeviceFMIndex.c8lut) — zero rank queries;
+           an empty row proves the local match is < 8 < MinSeedLength,
+           i.e. a miss with the same +1 advance the reference takes.
+  Triples: interval steps consume THREE bases per rank query through the
+           order-3 table (ops/rank.occ_t3) whenever three unambiguous
+           in-chunk bases remain. Single-base steps take over near
+           boundaries, at ambiguous bases, and after a triple miss (every
+           intermediate interval a triple skips is uniquely determined,
+           and the death position is re-found by the single steps).
+  Direct:  once the interval is UNIQUE (ik2 == 1; full-SA indexes only),
+           the lane resolves its single occurrence (one SA gather) and
+           extends by comparing 256 query bases against the packed text
+           per iteration — the longest-common-extension of a unique match
+           needs no rank machinery at all, and the occurrence position is
+           already known, so the hit records a pre-resolved position
+           (k0 < 0 encodes it) instead of a rank.
 """
 
 from __future__ import annotations
@@ -59,8 +70,9 @@ def _build_poslut(dfm: DeviceFMIndex, qcodes: jnp.ndarray) -> jnp.ndarray:
       2 lo1     single-char interval start / EXT single base (L2[cls1]+1)
       3 sz1     single-char interval size
       4 cls3    triple class of (p, p+1, p+2)
-      5 flags   real3 | (b1_real << 1) | (cls1 << 2)
-      6,7       padding
+      5 flags   real3 | (b1_real << 1) | (cls1 << 2) | (real8 << 4)
+      6 i8_lo   c8 interval start of the first EIGHT appended bases
+      7 i8_sz   its size
     """
     i32 = jnp.int32
     q = qcodes.astype(i32)
@@ -73,20 +85,67 @@ def _build_poslut(dfm: DeviceFMIndex, qcodes: jnp.ndarray) -> jnp.ndarray:
     cls1 = 3 - b1c
     cls3 = (3 - jnp.clip(b3, 0, 3)) * 16 + (3 - jnp.clip(b2, 0, 3)) * 4         + (3 - b1c)
     real3 = (b1 <= 3) & (b2 <= 3) & (b3 <= 3)
+    # 8-mer class of the RC of bases (p..p+7): first RC char = comp(b8) in
+    # the HIGH bits (fmindex._build_c8 convention)
+    cls8 = jnp.zeros(L, i32)
+    real8 = b1 <= 3
+    for o in range(8):                       # b_{o+1} = q[p+o], weight 4^o
+        bo = b1 if o == 0 else jnp.concatenate(
+            [q[o:], jnp.full(o, 4, i32)])
+        real8 = real8 & (bo <= 3)
+        cls8 = cls8 + ((3 - jnp.clip(bo, 0, 3)) << (2 * o))
     e3 = dfm.lut[cls3]                       # [L, 2]
     e1 = dfm.lut[64 + b1c]                   # [L, 2]
+    e8 = dfm.c8lut[cls8]                     # [L, 2]
     rdt = dfm.rdtype
     flags = (real3.astype(i32) | ((b1 <= 3).astype(i32) << 1)
-             | (cls1 << 2)).astype(rdt)
-    zero = jnp.zeros(L, rdt)
+             | (cls1 << 2) | (real8.astype(i32) << 4)).astype(rdt)
     return jnp.stack([e3[:, 0], e3[:, 1], e1[:, 0], e1[:, 1],
-                      cls3.astype(rdt), flags, zero, zero], axis=1)
+                      cls3.astype(rdt), flags, e8[:, 0], e8[:, 1]], axis=1)
+
+
+@jax.jit
+def _build_qrows(qcodes: jnp.ndarray) -> jnp.ndarray:
+    """Overlapping 512-base query windows at stride 256 for the direct-
+    extension comparator: row r = [32 packed 2-bit code words | 32 words of
+    the ambiguity plane] covering bases [256r, 256r+512). The ambiguity
+    plane mirrors the packing but stores (code >= 4) in each 2-bit field's
+    LOW bit, so it ORs straight into the mismatch vector."""
+    u32 = jnp.uint32
+    L = qcodes.shape[0]
+    R = -(-L // 256)
+    pad = (R + 1) * 256 - L
+    q = jnp.concatenate([qcodes,
+                         jnp.full(pad, 4, jnp.uint8)]).astype(u32)
+    sh = (15 - jnp.arange(16, dtype=u32)) * u32(2)
+
+    def packw(v):
+        return jnp.sum(v.reshape(-1, 16) << sh[None, :], axis=1, dtype=u32)
+
+    pk = packw(jnp.minimum(q, u32(3))).reshape(R + 1, 16)
+    am = packw((q >= u32(4)).astype(u32)).reshape(R + 1, 16)
+    return jnp.concatenate([pk[:-1], pk[1:], am[:-1], am[1:]], axis=1)
+
+
+def _extract256(rows: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray:
+    """Extract 16 aligned words (256 bases) from [B, >=17]-word windows
+    starting at 2-bit-field offset `off` (0..255): per-lane funnel shift."""
+    i32 = jnp.int32
+    u32 = jnp.uint32
+    ow = (off >> 4).astype(i32)                              # word offset
+    sh = ((off & 15) << 1).astype(u32)                       # bit shift
+    idx = ow[:, None] + jnp.arange(17, dtype=i32)[None, :]   # [B, 17]
+    w = jnp.take_along_axis(rows, idx, axis=1)               # [B, 17]
+    lo = jnp.where(sh[:, None] > 0,
+                   w[:, 1:] >> (u32(32) - sh[:, None]), u32(0))
+    return (w[:, :16] << sh[:, None]) | lo                   # [B, 16]
 
 
 @partial(jax.jit, static_argnames=("min_seed_length", "max_seed_freq",
                                    "sensitive", "max_out"))
 def _seed_scan(dfm: DeviceFMIndex,
                poslut: jnp.ndarray,      # rdtype [Lpad, 8] (_build_poslut)
+               q_rows: jnp.ndarray,      # uint32 [R, 64] (_build_qrows)
                starts: jnp.ndarray,      # int32 [B]
                emit_stops: jnp.ndarray,  # int32 [B] stop recording starts here
                ext_stops: jnp.ndarray,   # int32 [B] extension clip (may be
@@ -98,9 +157,18 @@ def _seed_scan(dfm: DeviceFMIndex,
                max_out: int):
     B = starts.shape[0]
     i32 = jnp.int32
+    u32 = jnp.uint32
     rdt = dfm.rdtype
     assert min_seed_length > 3, "triple-step shortcuts assume min_seed > 3"
+    # INIT-8 is only emission-exact when any sub-8 match is a guaranteed
+    # miss; direct extension needs a one-gather SA and int32 positions
+    use8 = min_seed_length > 8
+    direct = dfm.direct_ok
     Lpad = poslut.shape[0]
+    n_sa = dfm.sa_samples.shape[0]
+    n_trow = dfm.text_rows.shape[0]
+    n_qrow = q_rows.shape[0]
+    seq_len = dfm.seq_len
 
     init_state = dict(
         phase=jnp.zeros(B, i32),
@@ -109,6 +177,8 @@ def _seed_scan(dfm: DeviceFMIndex,
         ext_pos=jnp.zeros(B, i32),
         ik1=jnp.zeros(B, rdt), ik2=jnp.zeros(B, rdt),
         tri_failed=jnp.zeros(B, jnp.bool_),
+        dir_set=jnp.zeros(B, jnp.bool_),
+        dir_off=jnp.zeros(B, i32),
         out=jnp.zeros((B, max_out, 4), rdt),     # (qPos, len, freq, k0)
         out_n=jnp.zeros(B, i32),
         poison=jnp.full(B, POISON_NONE, i32),
@@ -134,6 +204,11 @@ def _seed_scan(dfm: DeviceFMIndex,
 
         in_init = (phase == PHASE_INIT) & (cursor < emit_stops)
         in_ext = phase == PHASE_EXT
+        if direct:
+            in_dir = in_ext & (ik2 == 1)
+        else:
+            in_dir = jnp.zeros(B, jnp.bool_)
+        iv_ext = in_ext & ~in_dir
 
         # one shared gather: INIT lanes look at `cursor`, EXT at `ext_pos`
         look = jnp.where(in_ext, ext_pos, cursor)
@@ -142,25 +217,33 @@ def _seed_scan(dfm: DeviceFMIndex,
         lo1, sz1 = row[:, 2], row[:, 3]
         cls3 = row[:, 4].astype(i32)
         flags = row[:, 5].astype(i32)
+        i8_lo, i8_sz = row[:, 6], row[:, 7]
         real3 = (flags & 1) > 0
         b1ok = (flags & 2) > 0
         cls1 = (flags >> 2) & 3
+        real8 = (flags & 16) > 0
 
         # ---- INIT step ----
         init_amb = ~b1ok
-        # triple INIT: the interval of the first three appended bases is a
-        # direct C64 range (rows whose suffix starts with the RC triple)
-        init_can3 = in_init & b1ok & real3 & (cursor + 2 < ext_stops)
+        # INIT-8: jump 8 bases via the c8 table; a dead 8-mer can only be a
+        # miss (len < 8 < min_seed), advancing the cursor by one — exactly
+        # the single-step outcome. INIT-3 likewise via the C64 range.
+        if use8:
+            init_can8 = in_init & b1ok & real8 & (cursor + 7 < ext_stops)
+        else:
+            init_can8 = jnp.zeros(B, jnp.bool_)
+        init_can3 = in_init & b1ok & real3 & (cursor + 2 < ext_stops) \
+            & ~init_can8
 
         # ---- EXT step: triple (3 bases) when possible, else single ----
-        can3 = in_ext & (ext_pos + 2 < ext_stops) & real3 & ~tri_failed
+        can3 = iv_ext & (ext_pos + 2 < ext_stops) & real3 & ~tri_failed
         cls = jnp.where(can3, cls3, cls1)
 
-        # a dead triple INIT can only be a miss (len < 4 <= min_seed): same
-        # outcome as the single-step path, cursor advances by one
+        init8_dead = init_can8 & (i8_sz == 0)
         init3_dead = init_can3 & (i3_sz == 0)
+        start_ext8 = init_can8 & ~init8_dead
         start_ext3 = init_can3 & ~init3_dead
-        start_ext1 = in_init & b1ok & ~init_can3
+        start_ext1 = in_init & b1ok & ~init_can8 & ~init_can3
 
         cnt = rank_ops.occ_t3(
             dfm, jnp.concatenate([ik1, ik1 + ik2]),
@@ -171,21 +254,63 @@ def _seed_scan(dfm: DeviceFMIndex,
         e_ik1 = base + tk
         e_ik2 = tl - tk
 
-        # single-path termination (only reachable when can3 is False)
+        # interval-path termination (only reachable when can3 is False)
         hit_boundary = ext_pos >= ext_stops
         hit_amb = ~b1ok
         dead_end = (e_ik2 == 0) & ~can3
-        finalize = in_ext & (hit_boundary | hit_amb | dead_end)
-        # an extension clipped by an ARTIFICIAL boundary (speculative
-        # segment bound, not the chunk end) poisons the lane: everything
-        # from this start position on is unknowable and the lane retires
-        # (the host re-scans from the poison position with the real clip)
-        poisoned_now = finalize & hit_boundary & (ext_stops < hard_stops)
-        tri_miss = in_ext & can3 & (e_ik2 == 0)
-        ext_ok = in_ext & ~finalize & ~tri_miss
+        fin_iv = iv_ext & (hit_boundary | hit_amb | dead_end)
+        tri_miss = iv_ext & can3 & (e_ik2 == 0)
+        ext_ok = iv_ext & ~fin_iv & ~tri_miss
+
+        # ---- DIRECT step: unique-interval lanes compare text to query ----
+        if direct:
+            sl = i32(seq_len)
+            rc_pos = dfm.sa_samples[
+                jnp.clip(ik1, 0, n_sa - 1).astype(i32)]       # [B] i32
+            dir_off = jnp.where(in_dir & ~s["dir_set"],
+                                sl - rc_pos - ext_pos, s["dir_off"])
+            p = dir_off + ext_pos                 # text pos of next compare
+            q = ext_pos
+            p_safe = jnp.clip(p, 0, seq_len - 1)
+            q_safe = jnp.clip(q, 0, n_qrow * 256 - 1)
+            trow = dfm.text_rows[p_safe >> 8]                 # [B, 32]
+            qrow = q_rows[q_safe >> 8]                        # [B, 64]
+            tw = _extract256(trow, p_safe & 255)
+            qw = _extract256(qrow[:, :32], q_safe & 255)
+            aw = _extract256(qrow[:, 32:], q_safe & 255)
+            x = tw ^ qw
+            mm = ((x | (x >> u32(1))) & u32(0x55555555)) | aw  # [B, 16]
+            nz = mm != 0
+            has = jnp.any(nz, axis=1)
+            fw = jnp.argmax(nz, axis=1).astype(i32)
+            wv = jnp.take_along_axis(mm, fw[:, None], axis=1)[:, 0]
+            run = jnp.where(has,
+                            fw * 16 + (jax.lax.clz(wv.astype(i32)) >> 1),
+                            256)
+            lim_q = ext_stops - q
+            lim_t = sl - p
+            limit = jnp.minimum(jnp.minimum(lim_q, lim_t), 256)
+            adv = jnp.minimum(run, jnp.maximum(limit, 0))
+            reach = run >= limit
+            # boundary (checked first, like the interval path) > text-end
+            # dead-end > plain continue at a full 256-base window
+            bound_dir = reach & (lim_q <= jnp.minimum(lim_t, 256))
+            tdead_dir = reach & ~bound_dir & (lim_t <= 256)
+            cont_dir = reach & ~bound_dir & ~tdead_dir
+            fin_dir = in_dir & (~reach | bound_dir | tdead_dir)
+            dir_adv = in_dir & cont_dir
+            dir_ext_pos = ext_pos + adv
+        else:
+            dir_off = s["dir_off"]
+            fin_dir = jnp.zeros(B, jnp.bool_)
+            dir_adv = jnp.zeros(B, jnp.bool_)
+            bound_dir = jnp.zeros(B, jnp.bool_)
+            dir_ext_pos = ext_pos
 
         # ---- finalize ----
-        length = ext_pos - ext_start
+        finalize = fin_iv | fin_dir
+        eff_ext_pos = jnp.where(in_dir, dir_ext_pos, ext_pos)
+        length = eff_ext_pos - ext_start
         freq = ik2
         is_hit = finalize & (length >= min_seed_length) & (freq > 0) & \
             (freq <= max_seed_freq)
@@ -194,6 +319,12 @@ def _seed_scan(dfm: DeviceFMIndex,
             ext_start + (5 if sensitive else 0) +
             (0 if sensitive else 1) * (length + 1),
             ext_start + 1)
+        # an extension clipped by an ARTIFICIAL boundary (speculative
+        # segment bound, not the chunk end) poisons the lane: everything
+        # from this start position on is unknowable and the lane retires
+        # (the host re-scans from the poison position with the real clip)
+        hb_eff = jnp.where(in_dir, bound_dir, hit_boundary)
+        poisoned_now = finalize & hb_eff & (ext_stops < hard_stops)
 
         # emit into per-lane buffers. One-hot select, NOT a scatter: XLA's
         # TPU scatter serializes per lane (measured 1.17 ms/iter at 2048
@@ -201,8 +332,14 @@ def _seed_scan(dfm: DeviceFMIndex,
         # [B, max_out, 4] buffer).
         slot = jnp.minimum(s["out_n"], max_out - 1)
         do_emit = is_hit & (s["out_n"] < max_out)
+        # direct hits already know their occurrence: k0 < 0 encodes the
+        # resolved text position -(r_start+1) instead of a rank
+        k0val = ik1
+        if direct:
+            k0val = jnp.where(in_dir,
+                              (-(dir_off + ext_start) - 1).astype(rdt), ik1)
         record = jnp.stack([ext_start.astype(rdt), length.astype(rdt),
-                            jnp.minimum(freq, max_seed_freq + 1), ik1],
+                            jnp.minimum(freq, max_seed_freq + 1), k0val],
                            axis=1)                                  # [B,4]
         hot = (jnp.arange(max_out, dtype=i32)[None, :] == slot[:, None]) \
             & do_emit[:, None]                                   # [B, max_out]
@@ -210,30 +347,40 @@ def _seed_scan(dfm: DeviceFMIndex,
         out_n = s["out_n"] + do_emit.astype(i32)
 
         # ---- state updates ----
-        start_ext = start_ext3 | start_ext1
+        start_ext = start_ext8 | start_ext3 | start_ext1
         step = jnp.where(can3, 3, 1)
         new_phase = jnp.where(start_ext, PHASE_EXT,
                               jnp.where(finalize, PHASE_INIT, phase))
         new_cursor = jnp.where(
             poisoned_now, emit_stops,
-            jnp.where(in_init & (init_amb | init3_dead), cursor + 1,
+            jnp.where(in_init & (init_amb | init3_dead | init8_dead),
+                      cursor + 1,
                       jnp.where(finalize, advance, cursor)))
         new_poison = jnp.where(poisoned_now & (poison == POISON_NONE),
                                ext_start, poison)
         new_ext_start = jnp.where(start_ext, cursor, ext_start)
         new_ext_pos = jnp.where(
-            start_ext3, cursor + 3,
-            jnp.where(start_ext1, cursor + 1,
-                      jnp.where(ext_ok, ext_pos + step, ext_pos)))
-        new_ik1 = jnp.where(start_ext3, i3_lo,
-                            jnp.where(start_ext1, lo1,
-                                      jnp.where(ext_ok, e_ik1, ik1)))
-        new_ik2 = jnp.where(start_ext3, i3_sz,
-                            jnp.where(start_ext1, sz1,
-                                      jnp.where(ext_ok, e_ik2, ik2)))
+            start_ext8, cursor + 8,
+            jnp.where(start_ext3, cursor + 3,
+                      jnp.where(start_ext1, cursor + 1,
+                                jnp.where(ext_ok, ext_pos + step,
+                                          jnp.where(dir_adv, dir_ext_pos,
+                                                    ext_pos)))))
+        new_ik1 = jnp.where(start_ext8, i8_lo,
+                            jnp.where(start_ext3, i3_lo,
+                                      jnp.where(start_ext1, lo1,
+                                                jnp.where(ext_ok, e_ik1,
+                                                          ik1))))
+        new_ik2 = jnp.where(start_ext8, i8_sz,
+                            jnp.where(start_ext3, i3_sz,
+                                      jnp.where(start_ext1, sz1,
+                                                jnp.where(ext_ok, e_ik2,
+                                                          ik2))))
         new_tf = jnp.where(start_ext | finalize, False,
                            jnp.where(tri_miss, True,
                                      jnp.where(ext_ok, False, tri_failed)))
+        new_dir_set = jnp.where(start_ext | finalize, False,
+                                in_dir | s["dir_set"])
 
         was_done = lane_done(phase, cursor)
         now_done = lane_done(new_phase, new_cursor)
@@ -243,6 +390,7 @@ def _seed_scan(dfm: DeviceFMIndex,
             phase=new_phase, cursor=new_cursor,
             ext_start=new_ext_start, ext_pos=new_ext_pos,
             ik1=new_ik1, ik2=new_ik2, tri_failed=new_tf,
+            dir_set=new_dir_set, dir_off=dir_off,
             out=out, out_n=out_n, poison=new_poison,
             n_active=n_active, n_iter=s["n_iter"] + 1,
         )
@@ -265,7 +413,7 @@ MAX_LANES_PER_CALL = 4096   # keep single device calls well under the remote
                             # execution deadline and bound buffer memory
 
 
-def _run_scan(dfm, qc_dev, starts, emit_stops, ext_stops, hard_stops,
+def _run_scan(dfm, qc_dev, q_rows, starts, emit_stops, ext_stops, hard_stops,
               min_seed_length, max_seed_freq, sensitive, max_out, mesh=None):
     """Launch the scan kernel with power-of-two lane padding (stable compiled
     shapes) and minimal device->host transfer (buffers trimmed to the widest
@@ -279,8 +427,8 @@ def _run_scan(dfm, qc_dev, starts, emit_stops, ext_stops, hard_stops,
         for s in range(0, B, MAX_LANES_PER_CALL):
             e = min(s + MAX_LANES_PER_CALL, B)
             pending.append((e - s, _launch_scan(
-                dfm, qc_dev, starts[s:e], emit_stops[s:e], ext_stops[s:e],
-                hard_stops[s:e],
+                dfm, qc_dev, q_rows, starts[s:e], emit_stops[s:e],
+                ext_stops[s:e], hard_stops[s:e],
                 min_seed_length, max_seed_freq, sensitive, max_out,
                 mesh=mesh)))
         outs = [_fetch_scan(n_real, raw, max_out) for n_real, raw in pending]
@@ -301,14 +449,14 @@ def _run_scan(dfm, qc_dev, starts, emit_stops, ext_stops, hard_stops,
                 np.concatenate([o[5] for o in outs]),
                 np.concatenate([o[6] for o in outs]))
     return _fetch_scan(B, _launch_scan(
-        dfm, qc_dev, starts, emit_stops, ext_stops, hard_stops,
+        dfm, qc_dev, q_rows, starts, emit_stops, ext_stops, hard_stops,
         min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh),
         max_out)
 
 
-def _launch_scan(dfm, qc_dev, starts, emit_stops, ext_stops, hard_stops,
-                 min_seed_length, max_seed_freq, sensitive, max_out,
-                 mesh=None):
+def _launch_scan(dfm, qc_dev, q_rows, starts, emit_stops, ext_stops,
+                 hard_stops, min_seed_length, max_seed_freq, sensitive,
+                 max_out, mesh=None):
     """Dispatch one scan slab (async); returns the raw device arrays."""
     B = len(starts)
     Bp = _next_pow2(B)
@@ -334,7 +482,7 @@ def _launch_scan(dfm, qc_dev, starts, emit_stops, ext_stops, hard_stops,
         st, em, ex, hd = (jnp.asarray(st), jnp.asarray(em), jnp.asarray(ex),
                           jnp.asarray(hd))
     return _seed_scan(
-        dfm, qc_dev, st, em, ex, hd,
+        dfm, qc_dev, q_rows, st, em, ex, hd,
         min_seed_length=min_seed_length, max_seed_freq=max_seed_freq,
         sensitive=sensitive, max_out=max_out)
 
@@ -400,10 +548,14 @@ def find_seeds_all(dfm: DeviceFMIndex,
         qc[o:o + len(codes)] = codes
     # one device-side precompute fuses the per-position 3-gram decode and
     # the C64/L2 entries into a single gatherable row for the scan loop
-    qc_dev = _build_poslut(dfm, jnp.asarray(qc))
+    qc_jnp = jnp.asarray(qc)
+    qc_dev = _build_poslut(dfm, qc_jnp)
+    q_rows = (_build_qrows(qc_jnp) if dfm.direct_ok
+              else jnp.zeros((1, 64), jnp.uint32))
     if mesh is not None:
         from gsalign_tpu.parallel import mesh as mesh_lib
         qc_dev = jax.device_put(qc_dev, mesh_lib.replicated(mesh))
+        q_rows = jax.device_put(q_rows, mesh_lib.replicated(mesh))
 
     seg_len = max(1, chunk // max(1, n_segments))
     stride = 5 if sensitive else None
@@ -425,7 +577,7 @@ def find_seeds_all(dfm: DeviceFMIndex,
             k += 1
     lanes = {}
     qs, ls, k0, fr, n, exits, poi = _run_scan(
-        dfm, qc_dev, np.asarray(lane_starts, np.int32),
+        dfm, qc_dev, q_rows, np.asarray(lane_starts, np.int32),
         np.asarray(lane_emit, np.int32), np.asarray(lane_ext, np.int32),
         np.asarray(lane_hard, np.int32),
         min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh)
@@ -487,7 +639,7 @@ def find_seeds_all(dfm: DeviceFMIndex,
         f_ext = np.asarray([f[4] for f in fixups], np.int32)
         # fixup lanes run with the REAL chunk-end clip: never poisoned
         qs, ls, k0, fr, n, exits, poi = _run_scan(
-            dfm, qc_dev, f_starts, f_emit, f_ext, f_ext,
+            dfm, qc_dev, q_rows, f_starts, f_emit, f_ext, f_ext,
             min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh)
         for i, (ci, k, e, _, _) in enumerate(fixups):
             m = n[i]
@@ -536,16 +688,21 @@ def _expand_hits(dfm, qs, ls, k0, fr):
     total = int(fr.sum())
     rep = np.repeat(np.arange(qs.shape[0]), fr)
     offset = np.arange(total) - np.repeat(np.cumsum(fr) - fr, fr)
-    ranks = (k0[rep].astype(np.int64) + offset).astype(k0.dtype)
+    k0r = k0[rep].astype(np.int64)
+    # direct-extension hits carry a pre-resolved occurrence position
+    # encoded as k0 = -(r_start+1) (always freq 1); everything else is a
+    # rank to resolve through the SA
+    pre = k0r < 0
+    ranks = np.where(pre, 0, k0r + offset).astype(k0.dtype)
     want = _next_pow2(total)
-    ranks_pad = np.full(want, ranks[0] if total else 1, dtype=k0.dtype)
+    ranks_pad = np.full(want, 1, dtype=k0.dtype)
     ranks_pad[:total] = ranks
     rc_pos = np.asarray(rank_ops.resolve_sa(
         dfm, jnp.asarray(ranks_pad)))[:total].astype(np.int64)
     lens = ls[rep].astype(np.int64)
     # ranks index RC(P) occurrences; the fwd+RC text is its own reverse
     # complement, so P occurs at the mirrored positions.
-    r_pos = dfm.seq_len - rc_pos - lens
+    r_pos = np.where(pre, -k0r - 1, dfm.seq_len - rc_pos - lens)
     return qs[rep].astype(np.int64), r_pos, lens
 
 
