@@ -229,8 +229,19 @@ def align_fragments(ref_frags, qry_frags, bucket_sizes=(64, 128, 256, 512,
                 args = (jnp.asarray(q), jnp.asarray(t), jnp.asarray(ql),
                         jnp.asarray(tl))
             pending.append((part, dp_fn(*args, Lb)))
+    if not pending:
+        return results
+    # ONE device->host transfer for all batches: each fetch pays a full
+    # tunnel round trip, which dominates the actual DP compute at typical
+    # gap-problem counts
+    flat = (jnp.concatenate([d.reshape(-1) for _, d in pending])
+            if len(pending) > 1 else pending[0][1].reshape(-1))
+    flat_h = np.asarray(flat)
+    off = 0
     for part, dev_ops in pending:
-        ops = np.asarray(dev_ops)
+        bp, w = dev_ops.shape
+        ops = flat_h[off:off + bp * w].reshape(bp, w)
+        off += bp * w
         for bi, i in enumerate(part):
             o = ops[bi]
             o = o[o != OP_PAD][::-1]   # forward order

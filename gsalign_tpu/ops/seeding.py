@@ -396,10 +396,12 @@ def _seed_scan(dfm: DeviceFMIndex,
         )
 
     final = jax.lax.while_loop(cond, body, init_state)
-    o = final["out"]
-    return (o[:, :, 0], o[:, :, 1], o[:, :, 3], o[:, :, 2],
-            final["out_n"], final["cursor"], final["poison"],
-            final["n_iter"])
+    # two device arrays -> two host fetches per slab (each device->host
+    # transfer pays a full tunnel round trip, so the per-lane scalars ride
+    # one [B, 3] array and the hit buffer stays a single [B, max_out, 4])
+    meta = jnp.stack([final["out_n"], final["cursor"],
+                      final["poison"]], axis=1)              # [B, 3] i32
+    return final["out"], meta
 
 
 def _next_pow2(n: int, floor: int = 64) -> int:
@@ -488,18 +490,16 @@ def _launch_scan(dfm, qc_dev, q_rows, starts, emit_stops, ext_stops,
 
 
 def _fetch_scan(B, raw, max_out):
-    """Bring one slab's results to host, trimmed to the used slot width."""
-    out_q, out_len, out_k0, out_freq, out_n, exits, poison, _n_iter = raw
-    n = np.asarray(out_n)[:B]
-    exits = np.asarray(exits)[:B]
-    poison = np.asarray(poison)[:B]
+    """Bring one slab's results to host in TWO transfers (out_n decides the
+    slot-width trim, so it must land first), trimmed to the used width."""
+    out, meta = raw
+    meta_h = np.asarray(meta)[:B]
+    n, exits, poison = meta_h[:, 0], meta_h[:, 1], meta_h[:, 2]
     width = _next_pow2(int(n.max()) if B else 1, 8)
     width = min(width, max_out)
-    qs = np.asarray(out_q[:, :width])[:B]
-    ls = np.asarray(out_len[:, :width])[:B]
-    k0 = np.asarray(out_k0[:, :width])[:B]
-    fr = np.asarray(out_freq[:, :width])[:B]
-    return qs, ls, k0, fr, n, exits, poison
+    ob = np.asarray(out[:, :width, :])[:B]
+    return (ob[:, :, 0], ob[:, :, 1], ob[:, :, 3], ob[:, :, 2],
+            n, exits, poison)
 
 
 def find_seeds_all(dfm: DeviceFMIndex,
