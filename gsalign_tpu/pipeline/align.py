@@ -23,7 +23,9 @@ from gsalign_tpu.ops.rank import DeviceFMIndex
 from gsalign_tpu.ops.seeding import find_seeds_all
 from gsalign_tpu.pipeline import blocks as blk_ops
 from gsalign_tpu.pipeline import chain
-from gsalign_tpu.pipeline.generate import generate_alignments
+from gsalign_tpu.ops import dp as dp_ops
+from gsalign_tpu.pipeline.generate import (finish_alignments,
+                                           plan_alignments, select_dp_fn)
 from gsalign_tpu.pipeline.output import write_aln, write_dotplot, write_maf
 from gsalign_tpu.pipeline.variants import (VariantCollector,
                                            identify_variants, write_vcf)
@@ -103,7 +105,11 @@ def compare_genomes(fm: FMIndex,
             chunk=cfg.seed_exploration_chunk,
             mesh=mesh)
 
-    first_out = True
+    # Pass 1 (host): chain stages + DP-pair planning per chromosome; DP
+    # fragments POOL across chromosomes so the device sees one bucketed
+    # batch (launch + fetch round trips dominate the actual DP compute)
+    planned = []                   # (qname, qry_chars, blocks, jobs, lo, hi)
+    all_rf, all_qf = [], []
     for qc_idx, (qname, qry_chars) in enumerate(query_records):
         log(f"\tProcess query chromosome: {qname}...", verbose)
         q_pos, r_pos, length = all_seeds[qc_idx]
@@ -152,10 +158,30 @@ def compare_genomes(fm: FMIndex,
                 if b.score > 0:
                     blk_ops.fill_block_gaps(b)
 
-        # S9: alignment generation (device DP)
-        with device_trace(), timer.stage("align"):
-            generate_alignments(blocks, qry_chars, ref_chars, cfg,
-                                dp_fn=dp_fn, mesh=mesh)
+        # S9a: classify pairs, collect this chromosome's DP fragments
+        with timer.stage("align"):
+            jobs, rf, qf = plan_alignments(blocks, qry_chars, ref_chars)
+            lo = len(all_rf)
+            all_rf.extend(rf)
+            all_qf.extend(qf)
+            planned.append((qname, qry_chars, blocks, jobs, lo, len(all_rf)))
+
+    # S9b: ONE device DP batch over every chromosome's gap fragments
+    with device_trace(), timer.stage("align"):
+        ops_all = []
+        if all_rf:
+            sel_fn = select_dp_fn(cfg, dp_fn)
+            kwargs = {} if sel_fn is None else {"dp_fn": sel_fn}
+            ops_all = dp_ops.align_fragments(
+                all_rf, all_qf, bucket_sizes=cfg.dp_buckets,
+                batch_cells=cfg.dp_batch_cells, mesh=mesh, **kwargs)
+
+    # Pass 2 (host): expand alignments, filter, emit — chromosome order
+    first_out = True
+    for qname, qry_chars, blocks, jobs, lo, hi in planned:
+        with timer.stage("align"):
+            finish_alignments(blocks, jobs, ops_all[lo:hi], qry_chars,
+                              ref_chars)
 
         # identity filter + stats (src/GSAlign.cpp:528-541)
         n = 0

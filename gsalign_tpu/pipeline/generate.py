@@ -76,10 +76,22 @@ def pair_rows(blk: Block, j: int, qry_chars: np.ndarray,
     return (ref_chars[r_pos:r_pos + r_len], qry_chars[q_pos:q_pos + q_len])
 
 
-def generate_alignments(blocks: List[Block], qry_chars: np.ndarray,
-                        ref_chars: np.ndarray, cfg: AlignConfig,
-                        dp_fn=None, mesh=None) -> None:
-    """Fill aln rows for DP pairs; set per-block score/aln_len."""
+def select_dp_fn(cfg: AlignConfig, dp_fn=None):
+    """Resolve the DP kernel: explicit override > Pallas (when enabled and
+    the toolchain can build it) > the lax.scan path."""
+    if dp_fn is None and cfg.use_pallas:
+        from gsalign_tpu.ops import dp_pallas
+        if dp_pallas.hw_ok():
+            dp_fn = dp_pallas.make_hybrid_dp_fn()
+    return dp_fn
+
+
+def plan_alignments(blocks: List[Block], qry_chars: np.ndarray,
+                    ref_chars: np.ndarray):
+    """Classify every pair of every block (seeds / pure indels / direct
+    match-ups / DP jobs), set the non-DP part of score/aln_len, and return
+    (dp_jobs, ref_frags, qry_frags) for the device DP batch — callers may
+    pool the fragments across chromosomes into one batch."""
     ref_codes = NT4_TABLE[ref_chars]
     qry_codes = NT4_TABLE[qry_chars]
 
@@ -119,26 +131,23 @@ def generate_alignments(blocks: List[Block], qry_chars: np.ndarray,
         for j in np.nonzero(needs_dp)[0]:
             dp_jobs.append((bi, int(j)))
 
+    ref_frags = []
+    qry_frags = []
+    for bi, j in dp_jobs:
+        blk = blocks[bi]
+        r_pos, q_pos = int(blk.r_pos[j]), int(blk.q_pos[j])
+        ref_frags.append(
+            ref_codes[r_pos:r_pos + int(blk.r_len[j])].astype(np.int32))
+        qry_frags.append(
+            qry_codes[q_pos:q_pos + int(blk.q_len[j])].astype(np.int32))
+    return dp_jobs, ref_frags, qry_frags
+
+
+def finish_alignments(blocks: List[Block], dp_jobs, ops_list,
+                      qry_chars: np.ndarray, ref_chars: np.ndarray) -> None:
+    """Expand the DP op lists into aligned rows and fold score/aln_len into
+    the blocks (one cumsum-rebased pass over all pairs, no per-pair loop)."""
     if dp_jobs:
-        if dp_fn is None and cfg.use_pallas:
-            from gsalign_tpu.ops import dp_pallas
-            if dp_pallas.hw_ok():
-                dp_fn = dp_pallas.make_hybrid_dp_fn()
-        ref_frags = []
-        qry_frags = []
-        for bi, j in dp_jobs:
-            blk = blocks[bi]
-            r_pos, q_pos = int(blk.r_pos[j]), int(blk.q_pos[j])
-            ref_frags.append(
-                ref_codes[r_pos:r_pos + int(blk.r_len[j])].astype(np.int32))
-            qry_frags.append(
-                qry_codes[q_pos:q_pos + int(blk.q_len[j])].astype(np.int32))
-        kwargs = {} if dp_fn is None else {"dp_fn": dp_fn}
-        ops_list = dp_ops.align_fragments(
-            ref_frags, qry_frags, bucket_sizes=cfg.dp_buckets,
-            batch_cells=cfg.dp_batch_cells, mesh=mesh, **kwargs)
-        # expand ALL op lists to aligned rows in one pass (per-pair cumsum
-        # rebase; the per-pair python loop was a 100Mb-scale host pole)
         ops_all = np.concatenate(ops_list)
         lens = np.asarray([len(o) for o in ops_list], dtype=np.int64)
         starts = np.concatenate([[0], np.cumsum(lens)])
@@ -168,3 +177,22 @@ def generate_alignments(blocks: List[Block], qry_chars: np.ndarray,
             blk.aln2[j] = a2_all[s:e]
             blk.aln_len += e - s
             blk.score += int(per_ident[k])
+
+
+def generate_alignments(blocks: List[Block], qry_chars: np.ndarray,
+                        ref_chars: np.ndarray, cfg: AlignConfig,
+                        dp_fn=None, mesh=None) -> None:
+    """Fill aln rows for DP pairs; set per-block score/aln_len.
+
+    One-chromosome convenience wrapper over plan/DP-batch/finish (the
+    pipeline driver pools DP fragments across chromosomes instead)."""
+    dp_jobs, ref_frags, qry_frags = plan_alignments(blocks, qry_chars,
+                                                    ref_chars)
+    ops_list = []
+    if dp_jobs:
+        dp_fn = select_dp_fn(cfg, dp_fn)
+        kwargs = {} if dp_fn is None else {"dp_fn": dp_fn}
+        ops_list = dp_ops.align_fragments(
+            ref_frags, qry_frags, bucket_sizes=cfg.dp_buckets,
+            batch_cells=cfg.dp_batch_cells, mesh=mesh, **kwargs)
+    finish_alignments(blocks, dp_jobs, ops_list, qry_chars, ref_chars)

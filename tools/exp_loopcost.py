@@ -1,0 +1,153 @@
+"""Per-iteration cost breakdown of the seeding loop body (real TPU).
+
+Times K iterations of stripped while_loops that add one body piece at a
+time, over the REAL index tables of a bench config. Usage:
+    python tools/exp_loopcost.py [tag] [B] [K]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax                                    # noqa: E402
+import jax.numpy as jnp                       # noqa: E402
+import numpy as np                            # noqa: E402
+import gsalign_tpu                            # noqa: F401,E402
+from gsalign_tpu.genome.fasta import read_fasta          # noqa: E402
+from gsalign_tpu.genome.packing import chars_to_codes    # noqa: E402
+from gsalign_tpu.index.io import load_index              # noqa: E402
+from gsalign_tpu.ops import rank as rank_ops             # noqa: E402
+from gsalign_tpu.ops.rank import DeviceFMIndex           # noqa: E402
+from gsalign_tpu.ops import seeding                      # noqa: E402
+
+
+def bench(fn, args, K):
+    r = jax.jit(fn, static_argnames=("K",))(*args, K=K)
+    jax.block_until_ready(r)
+    np.asarray(jax.tree_util.tree_leaves(r)[0])   # true sync
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        r = jax.jit(fn, static_argnames=("K",))(*args, K=K)
+        np.asarray(jax.tree_util.tree_leaves(r)[0])
+        best = min(best, time.time() - t0)
+    return best / K * 1e6                          # us/iter
+
+
+def main():
+    tag = sys.argv[1] if len(sys.argv) > 1 else "yeast_12mb"
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+    K = int(sys.argv[3]) if len(sys.argv) > 3 else 500
+    d = os.path.join("/tmp/gsalign_bench", tag)
+    fm = load_index(os.path.join(d, "ref_idx"))
+    dfm = DeviceFMIndex.from_host(fm)
+    codes = np.concatenate(
+        [chars_to_codes(q) for _, q in read_fasta(os.path.join(d, "qry.fa"))])
+    poslut = seeding._build_poslut(dfm, jnp.asarray(codes))
+    q_rows = seeding._build_qrows(jnp.asarray(codes))
+    i32 = jnp.int32
+    u32 = jnp.uint32
+    Lpad = poslut.shape[0]
+    n_sa = dfm.sa_samples.shape[0]
+    max_out = 627
+    sl = dfm.seq_len
+
+    def loop(body, K, extra_state=None):
+        st = dict(k=jnp.zeros((), i32),
+                  idx=(jnp.arange(B, dtype=i32) * 9973) % (Lpad - 300),
+                  acc=jnp.zeros(B, i32))
+        if extra_state:
+            st.update(extra_state)
+        return jax.lax.while_loop(lambda s: s["k"] < K, body, st)
+
+    def mk_idx(s):
+        return (s["idx"] + s["k"]) % (Lpad - 300)
+
+    # 1: poslut row gather + occ_t3 (the old loop's gathers)
+    def body1(s):
+        look = mk_idx(s)
+        row = poslut[look]
+        k2 = (look.astype(i32) % (sl - 200)).astype(dfm.rdtype)
+        cnt = rank_ops.occ_t3(dfm, jnp.concatenate([k2, k2 + 100]),
+                              jnp.concatenate([row[:, 5] > 0] * 2),
+                              jnp.concatenate([row[:, 4].astype(i32)] * 2))
+        acc = s["acc"] + cnt[:B].astype(i32) + row[:, 0].astype(i32)
+        return dict(s, k=s["k"] + 1, acc=acc)
+
+    def f1(poslut, K):
+        return loop(body1, K)["acc"]
+
+    print("1 poslut+occ           :",
+          round(bench(lambda poslut, K: loop(body1, K)["acc"],
+                      (poslut,), K), 1), "us/iter", flush=True)
+
+    # 2: + sa gather
+    def body2(s):
+        s = body1(s)
+        sa = dfm.sa_samples[(mk_idx(s) % n_sa).astype(i32)]
+        return dict(s, acc=s["acc"] + sa.astype(i32))
+
+    print("2 +sa                  :",
+          round(bench(lambda poslut, K: loop(body2, K)["acc"],
+                      (poslut,), K), 1), "us/iter", flush=True)
+
+    # 3: + text/qrow gathers (no extraction)
+    n_tr = dfm.text_rows.shape[0]
+    n_qr = q_rows.shape[0]
+
+    def body3(s):
+        s = body2(s)
+        trow = dfm.text_rows[(mk_idx(s) % n_tr).astype(i32)]
+        qrow = q_rows[(mk_idx(s) % n_qr).astype(i32)]
+        return dict(s, acc=s["acc"] + trow[:, 0].astype(i32)
+                    + qrow[:, 0].astype(i32))
+
+    print("3 +text/qrow gathers   :",
+          round(bench(lambda poslut, q_rows, K: loop(body3, K)["acc"],
+                      (poslut, q_rows), K), 1), "us/iter", flush=True)
+
+    # 4: + extraction + mismatch math
+    def body4(s):
+        s = body2(s)
+        p = mk_idx(s)
+        trow = dfm.text_rows[(p % n_tr).astype(i32)]
+        qrow = q_rows[(p % n_qr).astype(i32)]
+        off = (p & 255)
+        tw = seeding._extract256(trow, off)
+        qw = seeding._extract256(qrow[:, :32], off)
+        aw = seeding._extract256(qrow[:, 32:], off)
+        x = tw ^ qw
+        mm = ((x | (x >> u32(1))) & u32(0x55555555)) | aw
+        clzs = jax.lax.clz(mm.astype(i32)) >> 1
+        j16 = jnp.arange(16, dtype=i32)[None, :] * 16
+        cand = jnp.where(mm == 0, 4096, j16 + clzs)
+        run = jnp.minimum(jnp.min(cand, axis=1), 256)
+        return dict(s, acc=s["acc"] + run)
+
+    print("4 +extract+mm          :",
+          round(bench(lambda poslut, q_rows, K: loop(body4, K)["acc"],
+                      (poslut, q_rows), K), 1), "us/iter", flush=True)
+
+    # 5: + one-hot emit buffer
+    def body5(s):
+        s = body4(s)
+        slot = s["acc"] % max_out
+        rec = jnp.stack([s["acc"]] * 4, axis=1).astype(dfm.rdtype)
+        hot = (jnp.arange(max_out, dtype=i32)[None, :] == slot[:, None])
+        out = jnp.where(hot[:, :, None], rec[:, None, :], s["out"])
+        return dict(s, out=out)
+
+    def f5(poslut, q_rows, K):
+        st = dict(k=jnp.zeros((), i32),
+                  idx=(jnp.arange(B, dtype=i32) * 9973) % (Lpad - 300),
+                  acc=jnp.zeros(B, i32),
+                  out=jnp.zeros((B, max_out, 4), dfm.rdtype))
+        return jax.lax.while_loop(lambda s: s["k"] < K, body5, st)["out"]
+
+    print("5 +onehot emit         :",
+          round(bench(f5, (poslut, q_rows), K), 1), "us/iter", flush=True)
+
+
+if __name__ == "__main__":
+    main()

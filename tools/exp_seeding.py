@@ -41,10 +41,17 @@ def main():
             times.append(dt)
         print(f"  rep{r}: {dt:.3f}s", file=sys.stderr, flush=True)
     n_seeds = sum(int(r[0].shape[0]) for r in res)
+    from gsalign_tpu.ops.seeding import _fetch_scan
+    fi = getattr(_fetch_scan, "last_finish_iters", None)
+    pct = {}
+    if fi is not None:
+        fi = np.sort(np.asarray(fi))
+        pct = {f"p{p}": int(fi[min(len(fi) - 1, int(len(fi) * p / 100))])
+               for p in (50, 90, 99, 100)}
     print(json.dumps({
         "tag": tag, "n_segments": nseg,
         "best_s": round(min(times), 3), "all_s": [round(t, 3) for t in times],
-        "n_seeds": n_seeds,
+        "n_seeds": n_seeds, "finish_iter_pct": pct,
     }))
 
 
