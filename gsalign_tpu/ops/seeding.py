@@ -192,7 +192,16 @@ def _seed_scan(dfm: DeviceFMIndex,
         tri_failed=jnp.zeros(B, jnp.bool_),
         dir_set=jnp.zeros(B, jnp.bool_),
         dir_off=jnp.zeros(B, i32),
-        out=jnp.zeros((B, max_out, 4), rdt),     # (qPos, len, freq, k0)
+        # Emit planes, packed to the fewest bytes that round-trip: EVERY
+        # loop-carried byte is rewritten EVERY iteration (measured ~58 GB/s
+        # for any whole-buffer op in a while_loop on this target, even a
+        # pure elementwise +1), so emit cost is proportional to buffer
+        # bytes. (qpos_rel | len<<16) in one u32 plane, freq in an int8
+        # plane, k0 in an rdtype plane; max_out is capped and overflow
+        # poisons the lane for a host re-scan (see find_seeds_all).
+        out_meta=jnp.zeros((B, max_out), jnp.uint32),
+        out_k0=jnp.zeros((B, max_out), rdt),
+        out_fr=jnp.zeros((B, max_out), jnp.int8),
         out_n=jnp.zeros(B, i32),
         poison=jnp.full(B, POISON_NONE, i32),
         finish_iter=jnp.zeros(B, i32),   # diagnostics: lane completion iter
@@ -334,30 +343,34 @@ def _seed_scan(dfm: DeviceFMIndex,
             (0 if sensitive else 1) * (length + 1),
             ext_start + 1)
         # an extension clipped by an ARTIFICIAL boundary (speculative
-        # segment bound, not the chunk end) poisons the lane: everything
-        # from this start position on is unknowable and the lane retires
-        # (the host re-scans from the poison position with the real clip)
+        # segment bound, not the chunk end) poisons the lane, as does a
+        # FULL emit buffer: everything from this start position on is
+        # unknowable/unrecordable and the lane retires (the host re-scans
+        # from the poison position with the real clip / a fresh buffer)
         hb_eff = jnp.where(in_dir, bound_dir, hit_boundary)
-        poisoned_now = finalize & hb_eff & (ext_stops < hard_stops)
+        overflow = is_hit & (s["out_n"] >= max_out)
+        poisoned_now = (finalize & hb_eff & (ext_stops < hard_stops)) \
+            | overflow
 
         # emit into per-lane buffers. One-hot select, NOT a scatter: XLA's
         # TPU scatter serializes per lane (measured 1.17 ms/iter at 2048
-        # lanes vs 0.16 ms for the equivalent one-hot where over the whole
-        # [B, max_out, 4] buffer).
+        # lanes vs 0.09 ms for the one-hot where over packed planes).
         slot = jnp.minimum(s["out_n"], max_out - 1)
-        do_emit = is_hit & (s["out_n"] < max_out)
+        do_emit = is_hit & ~overflow
         # direct hits already know their occurrence: k0 < 0 encodes the
         # resolved text position -(r_start+1) instead of a rank
         k0val = ik1
         if direct:
             k0val = jnp.where(in_dir,
                               (-(dir_off + ext_start) - 1).astype(rdt), ik1)
-        record = jnp.stack([ext_start.astype(rdt), length.astype(rdt),
-                            jnp.minimum(freq, max_seed_freq + 1), k0val],
-                           axis=1)                                  # [B,4]
+        meta_rec = ((ext_start - starts).astype(u32)
+                    | (length.astype(u32) << 16))
+        fr_rec = jnp.minimum(freq, max_seed_freq + 1).astype(jnp.int8)
         hot = (jnp.arange(max_out, dtype=i32)[None, :] == slot[:, None]) \
             & do_emit[:, None]                                   # [B, max_out]
-        out = jnp.where(hot[:, :, None], record[:, None, :], s["out"])
+        out_meta = jnp.where(hot, meta_rec[:, None], s["out_meta"])
+        out_k0 = jnp.where(hot, k0val[:, None], s["out_k0"])
+        out_fr = jnp.where(hot, fr_rec[:, None], s["out_fr"])
         out_n = s["out_n"] + do_emit.astype(i32)
 
         # ---- state updates ----
@@ -407,19 +420,32 @@ def _seed_scan(dfm: DeviceFMIndex,
             ext_start=new_ext_start, ext_pos=new_ext_pos,
             ik1=new_ik1, ik2=new_ik2, tri_failed=new_tf,
             dir_set=new_dir_set, dir_off=dir_off,
-            out=out, out_n=out_n, poison=new_poison,
+            out_meta=out_meta, out_k0=out_k0, out_fr=out_fr,
+            out_n=out_n, poison=new_poison,
             finish_iter=finish_iter,
             n_active=n_active, n_iter=s["n_iter"] + 1,
         )
 
     final = jax.lax.while_loop(cond, body, init_state)
     # two device arrays -> two host fetches per slab (each device->host
-    # transfer pays a full tunnel round trip, so the per-lane scalars ride
-    # one [B, 3] array and the hit buffer stays a single [B, max_out, 4])
+    # transfer pays a full tunnel round trip): per-lane scalars ride one
+    # [B, 4] array, and the packed hit planes are stacked ONCE post-loop
+    # into a single u32 [3 or 4, B, max_out] (k0 split into lo/hi words
+    # on the wide path)
     meta = jnp.stack([final["out_n"], final["cursor"],
                       final["poison"], final["finish_iter"]],
                      axis=1)                                 # [B, 4] i32
-    return final["out"], meta
+    k0 = final["out_k0"]
+    if k0.dtype == jnp.int64:
+        k0u = k0.astype(jnp.uint64)
+        k0_planes = [(k0u & jnp.uint64(0xFFFFFFFF)).astype(u32),
+                     (k0u >> jnp.uint64(32)).astype(u32)]
+    else:
+        k0_planes = [k0.view(jnp.uint32) if k0.dtype == jnp.int32
+                     else k0.astype(u32)]
+    planes = jnp.stack([final["out_meta"]] + k0_planes
+                       + [final["out_fr"].astype(u32)])
+    return planes, meta
 
 
 def _next_pow2(n: int, floor: int = 64) -> int:
@@ -446,12 +472,13 @@ def _run_scan(dfm, qc_dev, q_rows, starts, emit_stops, ext_stops, hard_stops,
         pending = []
         for s in range(0, B, MAX_LANES_PER_CALL):
             e = min(s + MAX_LANES_PER_CALL, B)
-            pending.append((e - s, _launch_scan(
+            pending.append((e - s, starts[s:e], _launch_scan(
                 dfm, qc_dev, q_rows, starts[s:e], emit_stops[s:e],
                 ext_stops[s:e], hard_stops[s:e],
                 min_seed_length, max_seed_freq, sensitive, max_out,
                 mesh=mesh)))
-        outs = [_fetch_scan(n_real, raw, max_out) for n_real, raw in pending]
+        outs = [_fetch_scan(n_real, raw, max_out, st)
+                for n_real, st, raw in pending]
         width = max(o[0].shape[1] for o in outs)
 
         def padw(a):
@@ -471,7 +498,7 @@ def _run_scan(dfm, qc_dev, q_rows, starts, emit_stops, ext_stops, hard_stops,
     return _fetch_scan(B, _launch_scan(
         dfm, qc_dev, q_rows, starts, emit_stops, ext_stops, hard_stops,
         min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh),
-        max_out)
+        max_out, starts)
 
 
 def _launch_scan(dfm, qc_dev, q_rows, starts, emit_stops, ext_stops,
@@ -507,18 +534,28 @@ def _launch_scan(dfm, qc_dev, q_rows, starts, emit_stops, ext_stops,
         sensitive=sensitive, max_out=max_out)
 
 
-def _fetch_scan(B, raw, max_out):
+def _fetch_scan(B, raw, max_out, starts):
     """Bring one slab's results to host in TWO transfers (out_n decides the
-    slot-width trim, so it must land first), trimmed to the used width."""
-    out, meta = raw
+    slot-width trim, so it must land first), trimmed to the used width,
+    and unpack the (qpos_rel|len, k0, freq) planes."""
+    planes, meta = raw
     meta_h = np.asarray(meta)[:B]
     n, exits, poison = meta_h[:, 0], meta_h[:, 1], meta_h[:, 2]
     _fetch_scan.last_finish_iters = meta_h[:, 3]   # diagnostics hook
     width = _next_pow2(int(n.max()) if B else 1, 8)
     width = min(width, max_out)
-    ob = np.asarray(out[:, :width, :])[:B]
-    return (ob[:, :, 0], ob[:, :, 1], ob[:, :, 3], ob[:, :, 2],
-            n, exits, poison)
+    ph = np.asarray(planes[:, :B, :width])
+    qs = (ph[0] & 0xFFFF).astype(np.int64) + \
+        np.asarray(starts[:B], np.int64)[:, None]
+    ls = (ph[0] >> 16).astype(np.int64)
+    if ph.shape[0] == 4:     # wide: k0 split into lo/hi words
+        k0 = (ph[1].astype(np.uint64)
+              | (ph[2].astype(np.uint64) << 32)).view(np.int64)
+        fr = ph[3].astype(np.int64)
+    else:
+        k0 = ph[1].view(np.int32).astype(np.int64)
+        fr = ph[2].astype(np.int64)
+    return (qs, ls, k0, fr, n, exits, poison)
 
 
 def find_seeds_all(dfm: DeviceFMIndex,
@@ -529,7 +566,8 @@ def find_seeds_all(dfm: DeviceFMIndex,
                    chunk: int = 10000,
                    n_segments: int = 1,
                    slack: int = 600,
-                   mesh=None):
+                   mesh=None,
+                   max_out_cap=None):
     """Seed ALL query chromosomes, exactly reproducing the reference's
     per-chunk sequential scan, with speculative segment parallelism.
 
@@ -578,7 +616,15 @@ def find_seeds_all(dfm: DeviceFMIndex,
 
     seg_len = max(1, chunk // max(1, n_segments))
     stride = 5 if sensitive else None
-    max_out = seg_len // (5 if sensitive else (min_seed_length + 1)) + 2
+    # emit-plane packing: qpos_rel and len ride 16-bit fields
+    assert chunk + slack <= 0xFFFF, "seed chunk too large for packed emit"
+    # cap the emit buffer: every loop-carried byte is rewritten every
+    # iteration (~58 GB/s ceiling), so a worst-case-sized buffer costs far
+    # more than the rare overflow->poison->host-re-scan round it avoids
+    hard_max = seg_len // (5 if sensitive else (min_seed_length + 1)) + 2
+    if max_out_cap is None:
+        max_out_cap = 512 if sensitive else 128
+    max_out = min(hard_max, max(2, max_out_cap))
 
     # --- round 1: speculative lanes at every segment start ---
     lane_starts, lane_emit, lane_ext, lane_hard, lane_key = [], [], [], [], []
@@ -612,7 +658,10 @@ def find_seeds_all(dfm: DeviceFMIndex,
     n_chunks = len(chunk_bounds)
     entry = np.asarray([cs for cs, _ in chunk_bounds], dtype=np.int64)
     done = np.zeros(n_chunks, dtype=bool)
-    for _round in range(n_segments + 1):
+    # rounds: n_segments reconciliation passes plus overflow re-scans
+    # (each overflow round advances >= max_out hits per affected chunk)
+    max_rounds = n_segments + 1 + -(-chunk // max(1, max_out))
+    for _round in range(max_rounds):
         fixups = []
         for ci in range(n_chunks):
             if done[ci]:
@@ -664,8 +713,12 @@ def find_seeds_all(dfm: DeviceFMIndex,
             m = n[i]
             starts_i = qs[i, :m]
             adv = starts_i + (stride if stride else ls[i, :m] + 1)
+            # fixup lanes run with the real clip so they are never
+            # boundary-poisoned, but a full emit buffer still poisons
             lanes[(ci, k)] = (int(e), starts_i, ls[i, :m], k0[i, :m],
-                              fr[i, :m], adv, int(exits[i]), POISON_NONE)
+                              fr[i, :m], adv, int(exits[i]), int(poi[i]))
+    else:
+        assert done.all(), "seed reconciliation did not converge"
 
     q_pos, r_pos, length = _expand_hits(
         dfm,
@@ -712,9 +765,10 @@ def _expand_hits(dfm, qs, ls, k0, fr):
     # encoded as k0 = -(r_start+1) (always freq 1); everything else is a
     # rank to resolve through the SA
     pre = k0r < 0
-    ranks = np.where(pre, 0, k0r + offset).astype(k0.dtype)
+    rdt = np.int64 if dfm.rdtype == jnp.int64 else np.int32
+    ranks = np.where(pre, 0, k0r + offset).astype(rdt)
     want = _next_pow2(total)
-    ranks_pad = np.full(want, 1, dtype=k0.dtype)
+    ranks_pad = np.full(want, 1, dtype=rdt)
     ranks_pad[:total] = ranks
     rc_pos = np.asarray(rank_ops.resolve_sa(
         dfm, jnp.asarray(ranks_pad)))[:total].astype(np.int64)
@@ -734,10 +788,11 @@ def find_seeds(dfm: DeviceFMIndex,
                n_segments: int = 1,
                slack: int = 600,
                mesh=None,
+               max_out_cap=None,
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Find all LMEM seeds of one query chromosome (see find_seeds_all)."""
     return find_seeds_all(
         dfm, [query_codes], min_seed_length=min_seed_length,
         max_seed_freq=max_seed_freq, sensitive=sensitive, chunk=chunk,
         slack=slack,
-        n_segments=n_segments, mesh=mesh)[0]
+        n_segments=n_segments, mesh=mesh, max_out_cap=max_out_cap)[0]

@@ -76,6 +76,26 @@ def test_seeding_rc_strand():
     assert (r_pos >= fm.genome.size).any()
 
 
+@pytest.mark.parametrize("cap,sensitive", [(2, False), (5, False), (3, True)])
+def test_seeding_emit_overflow_match_naive(cap, sensitive):
+    """A tiny emit-buffer cap forces overflow->poison->host-re-scan rounds;
+    the seed set must still match the reference scan exactly."""
+    rng = np.random.default_rng(77)
+    ref = random_genome(rng, 2500)
+    fm = make_fm(ref)
+    dfm = DeviceFMIndex.from_host(fm)
+    qry = mutate(ref, rng, sub_rate=0.02)
+    q_pos, r_pos, length = find_seeds(
+        dfm, qry, min_seed_length=12, max_seed_freq=100,
+        chunk=600, sensitive=sensitive, max_out_cap=cap)
+    got = _sorted(zip(q_pos.tolist(), r_pos.tolist(), length.tolist()))
+    text = fm.genome.codes_fwd_rc()
+    expect = _sorted(naive_lmem_seeds(
+        text, qry, min_seed_length=12, max_seed_freq=100, chunk=600,
+        sensitive=sensitive))
+    assert got == expect
+
+
 @pytest.mark.parametrize("slack,n_segments", [(20, 8), (40, 4), (10, 16)])
 def test_seeding_poisoned_segments_match_naive(slack, n_segments):
     """Tiny slack + long exact regions force extension clipping at the

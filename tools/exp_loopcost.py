@@ -129,20 +129,20 @@ def main():
           round(bench(lambda poslut, q_rows, K: loop(body4, K)["acc"],
                       (poslut, q_rows), K), 1), "us/iter", flush=True)
 
-    # 5: + one-hot emit buffer
+    # 5: + one-hot emit buffer (planes-first layout)
     def body5(s):
         s = body4(s)
         slot = s["acc"] % max_out
-        rec = jnp.stack([s["acc"]] * 4, axis=1).astype(dfm.rdtype)
+        rec = jnp.stack([s["acc"]] * 4, axis=0).astype(dfm.rdtype)
         hot = (jnp.arange(max_out, dtype=i32)[None, :] == slot[:, None])
-        out = jnp.where(hot[:, :, None], rec[:, None, :], s["out"])
+        out = jnp.where(hot[None, :, :], rec[:, :, None], s["out"])
         return dict(s, out=out)
 
     def f5(poslut, q_rows, K):
         st = dict(k=jnp.zeros((), i32),
                   idx=(jnp.arange(B, dtype=i32) * 9973) % (Lpad - 300),
                   acc=jnp.zeros(B, i32),
-                  out=jnp.zeros((B, max_out, 4), dfm.rdtype))
+                  out=jnp.zeros((4, B, max_out), dfm.rdtype))
         return jax.lax.while_loop(lambda s: s["k"] < K, body5, st)["out"]
 
     print("5 +onehot emit         :",
