@@ -96,9 +96,11 @@ def compare_genomes(fm: FMIndex,
     # S1: seeding — every chromosome's chunk lanes in ONE device scan
     # (the reference seeds per chromosome with thread chunks,
     # src/GSAlign.cpp:483-493; lane stops make the results identical)
+    qcodes_list = [chars_to_codes(q) for _, q in query_records]
+    ref_codes_full = genome.codes_fwd_rc()
     with device_trace(), timer.stage("seed"):
         all_seeds = find_seeds_all(
-            dfm, [chars_to_codes(q) for _, q in query_records],
+            dfm, qcodes_list,
             min_seed_length=cfg.min_seed_length,
             max_seed_freq=cfg.max_seed_freq,
             sensitive=cfg.sensitive,
@@ -160,11 +162,14 @@ def compare_genomes(fm: FMIndex,
 
         # S9a: classify pairs, collect this chromosome's DP fragments
         with timer.stage("align"):
-            jobs, rf, qf = plan_alignments(blocks, qry_chars, ref_chars)
+            jobs, rf, qf = plan_alignments(
+                blocks, qry_chars, ref_chars,
+                ref_codes=ref_codes_full, qry_codes=qcodes_list[qc_idx])
             lo = len(all_rf)
             all_rf.extend(rf)
             all_qf.extend(qf)
-            planned.append((qname, qry_chars, blocks, jobs, lo, len(all_rf)))
+            planned.append((qname, qry_chars, qcodes_list[qc_idx], blocks,
+                            jobs, lo, len(all_rf)))
 
     # S9b: ONE device DP batch over every chromosome's gap fragments
     with device_trace(), timer.stage("align"):
@@ -178,7 +183,7 @@ def compare_genomes(fm: FMIndex,
 
     # Pass 2 (host): expand alignments, filter, emit — chromosome order
     first_out = True
-    for qname, qry_chars, blocks, jobs, lo, hi in planned:
+    for qname, qry_chars, qry_codes, blocks, jobs, lo, hi in planned:
         with timer.stage("align"):
             finish_alignments(blocks, jobs, ops_all[lo:hi], qry_chars,
                               ref_chars)
@@ -221,7 +226,8 @@ def compare_genomes(fm: FMIndex,
         if cfg.emit_vcf:
             with timer.stage("variants"):
                 identify_variants(blocks, qry_chars, ref_chars, chr_index,
-                                  collector)
+                                  collector, ref_codes=ref_codes_full,
+                                  qry_codes=qry_codes)
         if cfg.show_plot and output_prefix:
             write_dotplot(output_prefix, qname, blocks, chr_index)
 

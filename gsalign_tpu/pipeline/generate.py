@@ -87,13 +87,20 @@ def select_dp_fn(cfg: AlignConfig, dp_fn=None):
 
 
 def plan_alignments(blocks: List[Block], qry_chars: np.ndarray,
-                    ref_chars: np.ndarray):
+                    ref_chars: np.ndarray, ref_codes=None, qry_codes=None):
     """Classify every pair of every block (seeds / pure indels / direct
     match-ups / DP jobs), set the non-DP part of score/aln_len, and return
     (dp_jobs, ref_frags, qry_frags) for the device DP batch — callers may
-    pool the fragments across chromosomes into one batch."""
-    ref_codes = NT4_TABLE[ref_chars]
-    qry_codes = NT4_TABLE[qry_chars]
+    pool the fragments across chromosomes into one batch.
+
+    ref_codes/qry_codes: optional precomputed NT4 codes of the char arrays
+    (genome.codes_fwd_rc() / chars_to_codes(qry) are bit-identical to the
+    NT4 decode and already exist in the pipeline — recomputing them here
+    was a full-genome table gather per chromosome)."""
+    if ref_codes is None:
+        ref_codes = NT4_TABLE[ref_chars]
+    if qry_codes is None:
+        qry_codes = NT4_TABLE[qry_chars]
 
     dp_jobs = []          # (block_idx, pair_idx)
     for bi, blk in enumerate(blocks):

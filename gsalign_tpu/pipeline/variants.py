@@ -131,12 +131,17 @@ class VariantCollector:
 
 def identify_variants(blocks: List[Block], qry_chars: np.ndarray,
                       ref_chars: np.ndarray, chr_index: ChrLocIndex,
-                      collector: VariantCollector) -> None:
+                      collector: VariantCollector,
+                      ref_codes=None, qry_codes=None) -> None:
     """Per-chromosome variant pass (VariantIdentification,
-    src/SeqVariant.cpp:12-119). Blocks must carry .coor already."""
+    src/SeqVariant.cpp:12-119). Blocks must carry .coor already.
+    ref_codes/qry_codes: optional precomputed NT4 codes (see
+    generate.plan_alignments)."""
     from gsalign_tpu.pipeline.generate import _segment_indices
-    qry_codes = NT4_TABLE[qry_chars]
-    ref_codes = NT4_TABLE[ref_chars]
+    if qry_codes is None:
+        qry_codes = NT4_TABLE[qry_chars]
+    if ref_codes is None:
+        ref_codes = NT4_TABLE[ref_chars]
     for blk in blocks:
         if blk.b_dup:
             continue
