@@ -65,8 +65,13 @@ class FMIndex:
         return self.occ_cp.dtype
 
 
-def pack_bwt_codes(bcodes: np.ndarray) -> np.ndarray:
+def pack_bwt_codes(bcodes: np.ndarray,
+                   threads: Optional[int] = None) -> np.ndarray:
     """Pack base codes (uint8, 0..3) into uint32 words, 16/word, BWA bit order."""
+    from gsalign_tpu import native_lib
+    out = native_lib.pack_2bit(bcodes, threads)
+    if out is not None:
+        return out
     n = bcodes.shape[0]
     n_words = -(-n // 16)
     padded = np.zeros(n_words * 16, dtype=np.uint32)
@@ -79,7 +84,8 @@ def pack_bwt_codes(bcodes: np.ndarray) -> np.ndarray:
 def build_fmindex(genome: Genome, sa_intv: Optional[int] = None,
                   prefer_device: bool = True,
                   sa_full: Optional[np.ndarray] = None,
-                  force_wide: bool = False) -> FMIndex:
+                  force_wide: bool = False,
+                  threads: Optional[int] = None) -> FMIndex:
     """Build the FM-index over the genome's fwd+RC text.
 
     sa_intv None picks automatically: the FULL suffix array (interval 1 —
@@ -106,27 +112,30 @@ def build_fmindex(genome: Genome, sa_intv: Optional[int] = None,
     # keys: pack (text[i-3..i-1], text[i..i+2]) per position into 15 bits of
     # a uint16 — prev chars are always 0..3 (2-bit fields, laid out so the
     # order-3 symbol is a single shift+mask), cur/next may be 4 = $ (3-bit
-    # fields). Out-of-range -> 0 on the left, 4 on the right. uint16
-    # everywhere: this host's first-touch page faults make every full-length
-    # temporary expensive, so halving the bytes halves the build time.
-    ctx = np.zeros(n + 1, dtype=np.uint16)
-    t16 = text.astype(np.uint16)
-    ctx[3:] |= t16[:n - 2] << 13         # prev3
-    ctx[2:] |= t16[:n - 1] << 11         # prev2
-    ctx[1:] |= t16 << 9                  # prev1
-    ctx[:n] |= t16 << 6                  # cur   (position n: cur = 4 = $)
-    ctx[n] |= 4 << 6
-    ctx[:n - 1] |= t16[1:] << 3          # nxt1
-    ctx[n - 1:] |= np.uint16(4 << 3)
-    ctx[:n - 2] |= t16[2:]               # nxt2
-    ctx[n - 2:] |= np.uint16(4)
-    g_ctx = ctx[sa_full]                 # [n+1] — the only big gather
-
-    # order-3 symbol per row: bits 9..14 == prev3*16 + prev2*4 + prev1
-    t3 = (g_ctx >> 9).astype(np.uint8)
-    t3 &= 0x3F
-    mask = sa_full > 0
-    bcodes = (t3 & 3)[mask]              # $-removed BWT (prev1 field)
+    # fields). Out-of-range -> 0 on the left, 4 on the right. The native
+    # path fuses context build + gather + symbol extraction in one
+    # multithreaded pass (native/buildtools.cpp ctx_gather_extract).
+    from gsalign_tpu import native_lib
+    fused = native_lib.ctx_gather_extract(text, sa_full, primary, threads)
+    if fused is not None:
+        g_ctx, t3, bcodes = fused
+    else:
+        ctx = np.zeros(n + 1, dtype=np.uint16)
+        t16 = text.astype(np.uint16)
+        ctx[3:] |= t16[:n - 2] << 13     # prev3
+        ctx[2:] |= t16[:n - 1] << 11     # prev2
+        ctx[1:] |= t16 << 9              # prev1
+        ctx[:n] |= t16 << 6              # cur   (position n: cur = 4 = $)
+        ctx[n] |= 4 << 6
+        ctx[:n - 1] |= t16[1:] << 3      # nxt1
+        ctx[n - 1:] |= np.uint16(4 << 3)
+        ctx[:n - 2] |= t16[2:]           # nxt2
+        ctx[n - 2:] |= np.uint16(4)
+        g_ctx = ctx[sa_full]             # [n+1] — the only big gather
+        # order-3 symbol per row: bits 9..14 == prev3*16 + prev2*4 + prev1
+        t3 = (g_ctx >> 9).astype(np.uint8)
+        t3 &= 0x3F
+        bcodes = (t3 & 3)[sa_full > 0]   # $-removed BWT (prev1 field)
 
     counts = np.bincount(text, minlength=4)[:4]
     l2 = np.zeros(5, dtype=np.int64)
@@ -134,14 +143,16 @@ def build_fmindex(genome: Genome, sa_intv: Optional[int] = None,
 
     # occ checkpoints: exclusive cumulative per-char counts at block starts
     n_blocks = -(-n // OCC_INTERVAL)
-    bpad = np.full(n_blocks * OCC_INTERVAL, 255, dtype=np.uint8)
-    bpad[:n] = bcodes
-    blk2d = bpad.reshape(n_blocks, OCC_INTERVAL)
+    per_block = native_lib.block_counts(bcodes, 4, threads)
+    if per_block is None:
+        bpad = np.full(n_blocks * OCC_INTERVAL, 255, dtype=np.uint8)
+        bpad[:n] = bcodes
+        blk2d = bpad.reshape(n_blocks, OCC_INTERVAL)
+        per_block = np.empty((n_blocks, 4), dtype=np.int64)
+        for c in range(4):               # bool temp per char beats 8B ids
+            per_block[:, c] = np.count_nonzero(blk2d == c, axis=1)
     occ_cp = np.zeros((n_blocks, 4), dtype=np.int64)
-    per_block = np.empty((n_blocks, 4), dtype=np.int64)
-    for c in range(4):                   # bool temp per char beats 8B ids
-        per_block[:, c] = np.count_nonzero(blk2d == c, axis=1)
-    occ_cp[1:] = np.cumsum(per_block, axis=0)[:-1]
+    occ_cp[1:] = np.cumsum(per_block[:n_blocks], axis=0)[:-1]
     cp_dtype = np.int64 if wide else np.int32
     occ_cp = occ_cp.astype(cp_dtype)
 
@@ -156,8 +167,8 @@ def build_fmindex(genome: Genome, sa_intv: Optional[int] = None,
     sa_samples = sa_full[::sa_intv].astype(sa_dtype)
 
     t3_packed, t3_cp, c64, t3_exc_pos, t3_exc_chr = _build_t3_index(
-        sa_full, g_ctx, t3, text, n, cp_dtype)
-    c8 = _build_c8(text, n)
+        sa_full, g_ctx, t3, text, n, cp_dtype, threads)
+    c8 = _build_c8(text, n, threads)
 
     return FMIndex(
         seq_len=n, primary=primary, l2=l2, bwt_packed=bwt_packed,
@@ -167,7 +178,8 @@ def build_fmindex(genome: Genome, sa_intv: Optional[int] = None,
     )
 
 
-def _build_c8(text: np.ndarray, n: int) -> np.ndarray:
+def _build_c8(text: np.ndarray, n: int,
+              threads: Optional[int] = None) -> np.ndarray:
     """Order-8 jump table, built WITHOUT touching the suffix array.
 
     Suffix order coarsened to 8-char granularity equals the order of base-5
@@ -177,13 +189,16 @@ def _build_c8(text: np.ndarray, n: int) -> np.ndarray:
     is #{rows with key < key(g)} and its size is #{rows with key == key(g)}
     — both read off an exclusive-cumsum'd bincount over the 5^8 key space.
     """
-    key = np.zeros(n + 1, dtype=np.int32)
-    tp = text.astype(np.int32) + 1
-    w = 1
-    for j in range(7, -1, -1):           # key += (t[i+j]+1) * 5^(7-j)
-        key[:n - j] += tp[j:] * w
-        w *= 5
-    counts = np.bincount(key, minlength=5 ** 8).astype(np.int64)
+    from gsalign_tpu import native_lib
+    counts = native_lib.c8_counts(text[:n], threads)
+    if counts is None:
+        key = np.zeros(n + 1, dtype=np.int32)
+        tp = text.astype(np.int32) + 1
+        w = 1
+        for j in range(7, -1, -1):       # key += (t[i+j]+1) * 5^(7-j)
+            key[:n - j] += tp[j:] * w
+            w *= 5
+        counts = np.bincount(key, minlength=5 ** 8).astype(np.int64)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     # map the 4^8 real 8-mers into the 5^8 key space; 8-mer id g stores its
     # FIRST char in the HIGH 2 bits (same convention as the C64 classes)
@@ -198,7 +213,8 @@ def _build_c8(text: np.ndarray, n: int) -> np.ndarray:
 
 
 def _build_t3_index(sa_full: np.ndarray, g_ctx: np.ndarray, t3: np.ndarray,
-                    text: np.ndarray, n: int, cp_dtype=np.int32):
+                    text: np.ndarray, n: int, cp_dtype=np.int32,
+                    threads: Optional[int] = None):
     """Order-3 (alphabet-64) BWT over all SA_full rows: T3[i] = the three
     bases preceding suffix SA[i] as T[SA-3]*16 + T[SA-2]*4 + T[SA-1]. Rows
     with SA < 3 lack a full 3-base left context: stored as 0 and corrected
@@ -242,19 +258,25 @@ def _build_t3_index(sa_full: np.ndarray, g_ctx: np.ndarray, t3: np.ndarray,
     # per row, which at >2^31 rows dominated the build's memory footprint
     n3_blocks = rows // T3_BLOCK + 1
     t3_cp = np.zeros((n3_blocks + 1, 64), dtype=np.int64)
-    # small slabs keep each bincount's bin range (slab/128*64 ids) inside
-    # L2 — the same bincount over one 2^27 slab is 36x slower (cache-miss
-    # random increments across a ~100 MB bin array)
-    SLAB = 1 << 18                      # rows per slab (multiple of 128)
-    for s in range(0, rows, SLAB):
-        e = min(s + SLAB, rows)
-        b0 = s >> 7
-        nb = ((e - 1) >> 7) - b0 + 1
-        ids = np.repeat(np.arange(nb, dtype=np.int32) << 6, T3_BLOCK)
-        ids = ids[:e - s]
-        ids += t3[s:e]
-        cnt = np.bincount(ids, minlength=nb * 64).reshape(nb, 64)
-        t3_cp[b0 + 1: b0 + 1 + nb] += cnt      # shifted: exclusive cumsum
+    from gsalign_tpu import native_lib
+    cnt_all = native_lib.block_counts(t3[:rows], 64, threads)
+    if cnt_all is not None:
+        nb = cnt_all.shape[0]
+        t3_cp[1: 1 + nb] = cnt_all             # shifted: exclusive cumsum
+    else:
+        # small slabs keep each bincount's bin range (slab/128*64 ids)
+        # inside L2 — the same bincount over one 2^27 slab is 36x slower
+        # (cache-miss random increments across a ~100 MB bin array)
+        SLAB = 1 << 18                  # rows per slab (multiple of 128)
+        for s in range(0, rows, SLAB):
+            e = min(s + SLAB, rows)
+            b0 = s >> 7
+            nb = ((e - 1) >> 7) - b0 + 1
+            ids = np.repeat(np.arange(nb, dtype=np.int32) << 6, T3_BLOCK)
+            ids = ids[:e - s]
+            ids += t3[s:e]
+            cnt = np.bincount(ids, minlength=nb * 64).reshape(nb, 64)
+            t3_cp[b0 + 1: b0 + 1 + nb] += cnt  # shifted: exclusive cumsum
     np.cumsum(t3_cp, axis=0, out=t3_cp)
     t3_cp = t3_cp[:n3_blocks].astype(cp_dtype)
     padded = np.zeros(n3_blocks * T3_BLOCK, dtype=np.uint8)

@@ -18,7 +18,7 @@ import numpy as np
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                            "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libgsalign_native.so")
-_SOURCES = ["sais.cpp"]
+_SOURCES = ["sais.cpp", "buildtools.cpp"]
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
@@ -57,6 +57,40 @@ def get_lib() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
             ctypes.c_int64,
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
+        for idx_t, suf in ((np.int32, "i32"), (np.int64, "i64")):
+            fn = getattr(lib, f"par_gather_u16_{suf}")
+            fn.restype = None
+            fn.argtypes = [
+                np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(idx_t, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+                ctypes.c_int64, ctypes.c_int]
+        lib.c8_counts.restype = None
+        lib.c8_counts.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int]
+        lib.block_counts_u8.restype = None
+        lib.block_counts_u8.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int]
+        lib.ctx_gather_extract.restype = None
+        lib.ctx_gather_extract.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int]
+        lib.pack_2bit.restype = None
+        lib.pack_2bit.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -82,3 +116,84 @@ def sais(text_with_sentinel: np.ndarray) -> Optional[np.ndarray]:
     if rc != 0:
         raise RuntimeError(f"sais_u8_i64 failed: {rc}")
     return sa
+
+
+def default_threads() -> int:
+    return max(1, os.cpu_count() or 1)
+
+
+def gather_u16(src: np.ndarray, idx: np.ndarray,
+               threads: Optional[int] = None) -> Optional[np.ndarray]:
+    """out[i] = src[idx[i]], multithreaded. None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, dtype=np.uint16)
+    out = np.empty(idx.shape[0], dtype=np.uint16)
+    nt = threads or default_threads()
+    if idx.dtype == np.int32:
+        lib.par_gather_u16_i32(src, np.ascontiguousarray(idx), out,
+                               idx.shape[0], nt)
+    else:
+        lib.par_gather_u16_i64(
+            src, np.ascontiguousarray(idx, dtype=np.int64), out,
+            idx.shape[0], nt)
+    return out
+
+
+def c8_counts(text: np.ndarray,
+              threads: Optional[int] = None) -> Optional[np.ndarray]:
+    """Order-8 key histogram over the 5^8 key space (see fmindex._build_c8)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    t = np.ascontiguousarray(text, dtype=np.uint8)
+    counts = np.zeros(5 ** 8, dtype=np.int64)
+    lib.c8_counts(t, t.shape[0], counts, threads or default_threads())
+    return counts
+
+
+def ctx_gather_extract(text: np.ndarray, sa: np.ndarray, primary: int,
+                       threads: Optional[int] = None):
+    """Fused context build + SA gather + symbol extraction (one parallel
+    pass over the suffix array). Returns (g_ctx u16[n+1], t3 u8[n+1],
+    bcodes u8[n]) or None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    t = np.ascontiguousarray(text, dtype=np.uint8)
+    n = int(t.shape[0])
+    sa = np.ascontiguousarray(sa)
+    is64 = 1 if sa.dtype == np.int64 else 0
+    g_ctx = np.empty(n + 1, dtype=np.uint16)
+    t3 = np.empty(n + 1, dtype=np.uint8)
+    bcodes = np.empty(n, dtype=np.uint8)
+    lib.ctx_gather_extract(t, n, sa.ctypes.data, is64, primary, g_ctx, t3,
+                           bcodes, threads or default_threads())
+    return g_ctx, t3, bcodes
+
+
+def pack_2bit(codes: np.ndarray,
+              threads: Optional[int] = None) -> Optional[np.ndarray]:
+    """Pack 0..3 codes into uint32 words (16/word, BWA bit order)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    c = np.ascontiguousarray(codes, dtype=np.uint8)
+    out = np.empty(-(-c.shape[0] // 16), dtype=np.uint32)
+    lib.pack_2bit(c, c.shape[0], out, threads or default_threads())
+    return out
+
+
+def block_counts(vals: np.ndarray, k: int,
+                 threads: Optional[int] = None) -> Optional[np.ndarray]:
+    """Per-128-block counts of symbols 0..k-1 (values >= k ignored)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(vals, dtype=np.uint8)
+    n_blocks = -(-v.shape[0] // 128)
+    out = np.zeros((n_blocks, k), dtype=np.int64)
+    lib.block_counts_u8(v, v.shape[0], k, out.reshape(-1),
+                        threads or default_threads())
+    return out

@@ -30,7 +30,7 @@ T3_ROW_WIDE = 100  # wide fused rows: 64 cp-low + 4 carry words + 32 syms
 @partial(jax.tree_util.register_dataclass,
          data_fields=["union", "t3", "l2",
                       "sa_samples", "c64", "t3_exc_pos", "t3_exc_chr", "lut",
-                      "c8lut", "text_rows"],
+                      "c8lut", "comb_pairs", "text_rows"],
          meta_fields=["seq_len", "primary", "sa_intv", "wide", "direct_ok"])
 @dataclasses.dataclass(frozen=True)
 class DeviceFMIndex:
@@ -65,6 +65,12 @@ class DeviceFMIndex:
     # 8-mer (fmindex._build_c8). One poslut gather replaces the first 8
     # bases' worth of rank queries in the seeding scan.
     c8lut: jnp.ndarray        # rdtype [65536, 2]
+    # The seeding scan's per-iteration pair lookups, flattened 1-D so one
+    # gather with concatenated indices serves (i8, i3, single) x (lo, sz):
+    # [c8 lo | lut lo | c8 sz | lut sz] (see seeding._seed_scan). Tables
+    # keyed per query position must be 1-D on TPU (minor-dim tile padding);
+    # this combined CLASS-keyed table is what makes that possible.
+    comb_pairs: jnp.ndarray   # rdtype [2 * (65536 + 136)]
     # Overlapping 512-base windows of the packed fwd+RC text at stride 256:
     # row r = words [16r, 16r+32). Direct-extension seeding (unique-interval
     # lanes compare text to query 256 bases per gather) reads these; a [1,1]
@@ -132,6 +138,7 @@ class DeviceFMIndex:
         if c8 is None:                     # pre-v4 in-memory index
             from gsalign_tpu.index.fmindex import _build_c8
             c8 = _build_c8(fm.genome.codes_fwd_rc(), fm.seq_len)
+        comb = np.concatenate([c8[:, 0], lut[:, 0], c8[:, 1], lut[:, 1]])
         dfm = DeviceFMIndex(
             union=jnp.asarray(union),
             t3=jnp.asarray(rows3),
@@ -142,6 +149,7 @@ class DeviceFMIndex:
             t3_exc_chr=jnp.asarray(fm.t3_exc_chr, dtype=jnp.int32),
             lut=jnp.asarray(lut, dtype=rdt),
             c8lut=jnp.asarray(c8, dtype=rdt),
+            comb_pairs=jnp.asarray(comb, dtype=rdt),
             text_rows=jnp.asarray(text_rows),
             seq_len=int(fm.seq_len),
             primary=int(fm.primary),

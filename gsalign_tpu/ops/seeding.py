@@ -59,24 +59,23 @@ POISON_NONE = 0x7FFFFFFF
 
 @jax.jit
 def _build_poslut(dfm: DeviceFMIndex, qcodes: jnp.ndarray) -> jnp.ndarray:
-    """Per-position scan row: everything the loop needs about the query at
-    position p, fused into ONE gatherable row (the loop previously paid
-    separate per-iteration gathers for the packed 3-gram and the C64/L2
-    LUT; each gather op costs ~40ns PER LANE plus a kernel launch).
+    """Per-position scan metadata, ONE u32 per query position:
 
-    Fields (rdtype [Lpad, 8]):
-      0 i3_lo   C64 interval start of the first three appended bases
-      1 i3_sz   its size
-      2 lo1     single-char interval start / EXT single base (L2[cls1]+1)
-      3 sz1     single-char interval size
-      4 cls3    triple class of (p, p+1, p+2)
-      5 flags   real3 | (b1_real << 1) | (cls1 << 2) | (real8 << 4)
-      6 i8_lo   c8 interval start of the first EIGHT appended bases
-      7 i8_sz   its size
+        bits  0..15  cls8   8-mer class of bases (p .. p+7)
+        bits 16..21  cls3   triple class of (p, p+1, p+2)
+        bits 22..26  flags  real3 | (b1_real << 1) | (cls1 << 2)
+                            | (real8 << 4)
+
+    The interval pairs these classes map to live in the tiny combined
+    pair table (rank.DeviceFMIndex.comb_pairs) gathered per iteration —
+    tables keyed by position MUST stay 1-D: any [L, k] table gets
+    TPU-tiled with the minor dim padded k -> 128, e.g. a [100M, 8] row
+    layout is a 51 GB allocation (16x blowup) that OOMs at 100 Mb query
+    scale. Every intermediate here is likewise 1-D.
     """
     i32 = jnp.int32
+    u32 = jnp.uint32
     q = qcodes.astype(i32)
-    L = q.shape[0]
     four = jnp.full(1, 4, i32)
     b1 = q
     b2 = jnp.concatenate([q[1:], four])
@@ -87,21 +86,17 @@ def _build_poslut(dfm: DeviceFMIndex, qcodes: jnp.ndarray) -> jnp.ndarray:
     real3 = (b1 <= 3) & (b2 <= 3) & (b3 <= 3)
     # 8-mer class of the RC of bases (p..p+7): first RC char = comp(b8) in
     # the HIGH bits (fmindex._build_c8 convention)
-    cls8 = jnp.zeros(L, i32)
+    cls8 = jnp.zeros(q.shape[0], i32)
     real8 = b1 <= 3
     for o in range(8):                       # b_{o+1} = q[p+o], weight 4^o
         bo = b1 if o == 0 else jnp.concatenate(
             [q[o:], jnp.full(o, 4, i32)])
         real8 = real8 & (bo <= 3)
         cls8 = cls8 + ((3 - jnp.clip(bo, 0, 3)) << (2 * o))
-    e3 = dfm.lut[cls3]                       # [L, 2]
-    e1 = dfm.lut[64 + b1c]                   # [L, 2]
-    e8 = dfm.c8lut[cls8]                     # [L, 2]
-    rdt = dfm.rdtype
     flags = (real3.astype(i32) | ((b1 <= 3).astype(i32) << 1)
-             | (cls1 << 2) | (real8.astype(i32) << 4)).astype(rdt)
-    return jnp.stack([e3[:, 0], e3[:, 1], e1[:, 0], e1[:, 1],
-                      cls3.astype(rdt), flags, e8[:, 0], e8[:, 1]], axis=1)
+             | (cls1 << 2) | (real8.astype(i32) << 4))
+    return (cls8.astype(u32) | (cls3.astype(u32) << 16)
+            | (flags.astype(u32) << 22))
 
 
 @jax.jit
@@ -157,7 +152,7 @@ def _extract256(rows: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("min_seed_length", "max_seed_freq",
                                    "sensitive", "max_out"))
 def _seed_scan(dfm: DeviceFMIndex,
-               poslut: jnp.ndarray,      # rdtype [Lpad, 8] (_build_poslut)
+               poslut: jnp.ndarray,      # uint32 [Lpad] (_build_poslut)
                q_rows: jnp.ndarray,      # uint32 [R, 64] (_build_qrows)
                starts: jnp.ndarray,      # int32 [B]
                emit_stops: jnp.ndarray,  # int32 [B] stop recording starts here
@@ -233,18 +228,29 @@ def _seed_scan(dfm: DeviceFMIndex,
             in_dir = jnp.zeros(B, jnp.bool_)
         iv_ext = in_ext & ~in_dir
 
-        # one shared gather: INIT lanes look at `cursor`, EXT at `ext_pos`
+        # one shared metadata gather: INIT lanes look at `cursor`, EXT at
+        # `ext_pos`; the class fields then key ONE concatenated-index
+        # gather into the tiny combined pair table (position-keyed tables
+        # must be 1-D: a [Lpad, k] layout tile-pads k -> 128 minor lanes,
+        # 51 GB at 100 Mb query scale)
         look = jnp.where(in_ext, ext_pos, cursor)
-        row = poslut[jnp.clip(look, 0, Lpad - 1)]            # [B, 8]
-        i3_lo, i3_sz = row[:, 0], row[:, 1]
-        lo1, sz1 = row[:, 2], row[:, 3]
-        cls3 = row[:, 4].astype(i32)
-        flags = row[:, 5].astype(i32)
-        i8_lo, i8_sz = row[:, 6], row[:, 7]
+        meta = poslut[jnp.clip(look, 0, Lpad - 1)]           # [B] u32
+        cls8 = (meta & u32(0xFFFF)).astype(i32)
+        cls3 = ((meta >> u32(16)) & u32(63)).astype(i32)
+        flags = (meta >> u32(22)).astype(i32)
         real3 = (flags & 1) > 0
         b1ok = (flags & 2) > 0
         cls1 = (flags >> 2) & 3
         real8 = (flags & 16) > 0
+        b1c = 3 - cls1
+        half = i32(65536 + 136)
+        idx6 = jnp.concatenate([cls8, 65536 + cls3, 65536 + 64 + b1c,
+                                half + cls8, half + 65536 + cls3,
+                                half + 65536 + 64 + b1c])    # [6B]
+        vals = dfm.comb_pairs[idx6]
+        i8_lo, i3_lo, lo1 = vals[:B], vals[B:2 * B], vals[2 * B:3 * B]
+        i8_sz, i3_sz, sz1 = (vals[3 * B:4 * B], vals[4 * B:5 * B],
+                             vals[5 * B:])
 
         # ---- INIT step ----
         init_amb = ~b1ok

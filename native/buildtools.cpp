@@ -1,0 +1,166 @@
+// Multithreaded index-build helpers.
+//
+// The FM-index post-processing (after SA-IS) is bandwidth-bound array work
+// that numpy runs single-threaded; the reference's builder is C as well
+// (src/BWT_Index/bwt_gen.c, bwtindex.c). These kernels parallelize the
+// three long poles: the big random context gather, the order-8 jump-table
+// histogram, and the per-128-block symbol counts behind the occ / order-3
+// checkpoints.
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <thread>
+#include <vector>
+
+namespace {
+
+int clamp_threads(int nt, int64_t n, int64_t min_per_thread) {
+    if (nt < 1) nt = 1;
+    int64_t cap = std::max<int64_t>(1, n / min_per_thread);
+    if (nt > cap) nt = static_cast<int>(cap);
+    return nt;
+}
+
+template <typename F>
+void parallel_ranges(int64_t n, int nt, F f) {
+    if (nt <= 1) {
+        f(0, n, 0);
+        return;
+    }
+    std::vector<std::thread> ts;
+    ts.reserve(nt);
+    int64_t chunk = (n + nt - 1) / nt;
+    for (int t = 0; t < nt; ++t) {
+        int64_t s = t * chunk;
+        int64_t e = std::min<int64_t>(n, s + chunk);
+        if (s >= e) break;
+        ts.emplace_back([=]() { f(s, e, t); });
+    }
+    for (auto& th : ts) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// out[i] = src[idx[i]] for i in [0, n)
+void par_gather_u16_i32(const uint16_t* src, const int32_t* idx,
+                        uint16_t* out, int64_t n, int nt) {
+    nt = clamp_threads(nt, n, 1 << 20);
+    parallel_ranges(n, nt, [&](int64_t s, int64_t e, int) {
+        for (int64_t i = s; i < e; ++i) out[i] = src[idx[i]];
+    });
+}
+
+void par_gather_u16_i64(const uint16_t* src, const int64_t* idx,
+                        uint16_t* out, int64_t n, int nt) {
+    nt = clamp_threads(nt, n, 1 << 20);
+    parallel_ranges(n, nt, [&](int64_t s, int64_t e, int) {
+        for (int64_t i = s; i < e; ++i) out[i] = src[idx[i]];
+    });
+}
+
+// counts[key(i)] += 1 for i in [0, n]; key(i) = sum_j v(i+j) * 5^(7-j),
+// v(x) = x < n ? text[x]+1 : 0  (the order-8 jump-table key space, matching
+// fmindex._build_c8). counts has 5^8 = 390625 slots, pre-zeroed by caller.
+void c8_counts(const uint8_t* text, int64_t n, int64_t* counts, int nt) {
+    constexpr int64_t BINS = 390625;  // 5^8
+    constexpr int64_t P7 = 78125;     // 5^7
+    nt = clamp_threads(nt, n + 1, 1 << 20);
+    std::vector<std::vector<int64_t>> local(nt);
+    parallel_ranges(n + 1, nt, [&](int64_t s, int64_t e, int t) {
+        std::vector<int64_t>& h = local[t];
+        h.assign(BINS, 0);
+        // rolling right-to-left: key(i) = v(i)*5^7 + (key(i+1) - v(i+8))/5
+        auto v = [&](int64_t x) -> int64_t {
+            return x < n ? int64_t(text[x]) + 1 : 0;
+        };
+        int64_t key = 0;  // key(e): compute directly
+        for (int64_t j = 0; j < 8; ++j) key = key * 5 + v(e + j);
+        for (int64_t i = e - 1; i >= s; --i) {
+            key = v(i) * P7 + (key - v(i + 8)) / 5;
+            ++h[key];
+        }
+    });
+    for (int t = 0; t < nt; ++t) {
+        if (local[t].empty()) continue;
+        for (int64_t b = 0; b < BINS; ++b) counts[b] += local[t][b];
+    }
+}
+
+// Fused context build + SA gather + symbol extraction, one parallel pass:
+//   ctx(p)   = packed (prev3,prev2,prev1,cur,nxt1,nxt2) context of text
+//              position p (the uint16 layout of fmindex.build_fmindex)
+//   g_ctx[i] = ctx(sa[i])
+//   t3[i]    = order-3 symbol (ctx >> 9)
+//   bcodes   = $-removed BWT: (t3 & 3) for rows with sa > 0 (the single
+//              sa == 0 row sits at `primary`)
+// idx variant chosen by idx_is64.
+void ctx_gather_extract(const uint8_t* text, int64_t n, const void* sa,
+                        int idx_is64, int64_t primary, uint16_t* g_ctx,
+                        uint8_t* t3, uint8_t* bcodes, int nt) {
+    const int32_t* sa32 = static_cast<const int32_t*>(sa);
+    const int64_t* sa64 = static_cast<const int64_t*>(sa);
+    int64_t rows = n + 1;
+    nt = clamp_threads(nt, rows, 1 << 20);
+    auto ctx_at = [&](int64_t p) -> uint16_t {
+        uint16_t v = 0;
+        if (p >= 3) v |= uint16_t(text[p - 3]) << 13;
+        if (p >= 2) v |= uint16_t(text[p - 2]) << 11;
+        if (p >= 1) v |= uint16_t(text[p - 1]) << 9;
+        v |= uint16_t(p < n ? text[p] : 4) << 6;
+        v |= uint16_t(p + 1 < n ? text[p + 1] : 4) << 3;
+        v |= uint16_t(p + 2 < n ? text[p + 2] : 4);
+        return v;
+    };
+    parallel_ranges(rows, nt, [&](int64_t s, int64_t e, int) {
+        int64_t j = s - (s > primary ? 1 : 0);
+        for (int64_t i = s; i < e; ++i) {
+            int64_t p = idx_is64 ? sa64[i] : int64_t(sa32[i]);
+            uint16_t v = ctx_at(p);
+            g_ctx[i] = v;
+            uint8_t sym = uint8_t((v >> 9) & 0x3F);
+            t3[i] = sym;
+            if (p > 0) bcodes[j++] = sym & 3;
+        }
+    });
+}
+
+// Pack base codes (0..3) into uint32 words, 16 bases/word, BWA bit order
+// (base k at bits (15 - k%16)*2). n_words = ceil(n/16), out pre-zeroed.
+void pack_2bit(const uint8_t* codes, int64_t n, uint32_t* out, int nt) {
+    int64_t n_words = (n + 15) >> 4;
+    nt = clamp_threads(nt, n_words, 1 << 16);
+    parallel_ranges(n_words, nt, [&](int64_t ws, int64_t we, int) {
+        for (int64_t w = ws; w < we; ++w) {
+            int64_t s = w << 4;
+            int64_t e = std::min<int64_t>(n, s + 16);
+            uint32_t acc = 0;
+            for (int64_t i = s; i < e; ++i)
+                acc |= uint32_t(codes[i]) << ((15 - (i & 15)) * 2);
+            out[w] = acc;
+        }
+    });
+}
+
+// out[b*K + c] = #{ i in block b : vals[i] == c } over 128-element blocks
+// (vals >= K ignored). out has ceil(n/128)*K slots, pre-zeroed by caller.
+void block_counts_u8(const uint8_t* vals, int64_t n, int32_t K,
+                     int64_t* out, int nt) {
+    int64_t n_blocks = (n + 127) >> 7;
+    nt = clamp_threads(nt, n_blocks, 1 << 13);
+    parallel_ranges(n_blocks, nt, [&](int64_t bs, int64_t be, int) {
+        for (int64_t b = bs; b < be; ++b) {
+            int64_t s = b << 7;
+            int64_t e = std::min<int64_t>(n, s + 128);
+            int64_t* row = out + b * K;
+            for (int64_t i = s; i < e; ++i) {
+                uint8_t v = vals[i];
+                if (v < K) ++row[v];
+            }
+        }
+    });
+}
+
+}  // extern "C"

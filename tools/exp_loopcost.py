@@ -64,15 +64,24 @@ def main():
     def mk_idx(s):
         return (s["idx"] + s["k"]) % (Lpad - 300)
 
-    # 1: poslut row gather + occ_t3 (the old loop's gathers)
+    # 1: poslut meta gather + comb pair gather + occ_t3
     def body1(s):
         look = mk_idx(s)
-        row = poslut[look]
+        meta = poslut[look]
+        cls8 = (meta & u32(0xFFFF)).astype(i32)
+        cls3 = ((meta >> u32(16)) & u32(63)).astype(i32)
+        flags = (meta >> u32(22)).astype(i32)
+        b1c = 3 - ((flags >> 2) & 3)
+        half = i32(65536 + 136)
+        idx6 = jnp.concatenate([cls8, 65536 + cls3, 65536 + 64 + b1c,
+                                half + cls8, half + 65536 + cls3,
+                                half + 65536 + 64 + b1c])
+        vals = dfm.comb_pairs[idx6]
         k2 = (look.astype(i32) % (sl - 200)).astype(dfm.rdtype)
         cnt = rank_ops.occ_t3(dfm, jnp.concatenate([k2, k2 + 100]),
-                              jnp.concatenate([row[:, 5] > 0] * 2),
-                              jnp.concatenate([row[:, 4].astype(i32)] * 2))
-        acc = s["acc"] + cnt[:B].astype(i32) + row[:, 0].astype(i32)
+                              jnp.concatenate([flags > 0] * 2),
+                              jnp.concatenate([cls3] * 2))
+        acc = s["acc"] + cnt[:B].astype(i32) + vals[:B].astype(i32)
         return dict(s, k=s["k"] + 1, acc=acc)
 
     def f1(poslut, K):
