@@ -128,14 +128,22 @@ def _outlier_pass(q_pos, pd, b_seed, uniq, cfg, genome_size) -> None:
     chg = np.zeros(u.size, dtype=bool)
     nz = u > 0
     chg[nz] = pd[u[nz]] != pd[u[nz] - 1]
+    # Both trigger conditions are monotone along the candidate list (u is
+    # ascending, so q_pos[u] is nondecreasing): the next trigger is the
+    # intersection of two up-sets, i.e. max of two binary searches — the
+    # naive full-tail rescan per trigger was quadratic at 100 Mb scale.
+    cand_k = np.nonzero(chg)[0]
+    cand_qp = q_pos[u[cand_k]]
     i_full = 0
     base = 0                  # uniques consumed before the current reset
     while base + 29 < u.size:
-        cand = chg[base + 29:] & (q_pos[u[base + 29:]] - q_pos[i_full] > 3000)
-        ks = np.nonzero(cand)[0]
-        if ks.size == 0:
+        i1 = int(np.searchsorted(cand_k, base + 29))
+        i2 = int(np.searchsorted(cand_qp, q_pos[i_full] + 3000,
+                                 side="right"))
+        ci = max(i1, i2)
+        if ci >= cand_k.size:
             break
-        k = base + 29 + int(ks[0])
+        k = int(cand_k[ci])
         j = int(u[k])
         _remove_outlier_seeds(pd, b_seed, uniq, i_full, j, cfg, genome_size)
         i_full = j

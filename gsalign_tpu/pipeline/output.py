@@ -149,10 +149,13 @@ def write_maf(path: str, blocks: List[Block], qry_name: str,
     """OutputMAF (src/tools.cpp:149-220)."""
     g = chr_index.genome
     qry_total = int(qry_chars.shape[0])
-    mode = "w" if first_chromosome else "a"
+    mode = "wb" if first_chromosome else "ab"
+    # binary writes: the aligned rows are multi-MB uint8 arrays; routing
+    # them through str (latin1 decode + text-mode re-encode) copied each
+    # row twice at 100 Mb scale
     with open(path, mode) as fh:
         if first_chromosome:
-            fh.write("##maf version=1\n")
+            fh.write(b"##maf version=1\n")
         for blk in blocks:
             if not allow_duplication and blk.b_dup:
                 continue
@@ -168,26 +171,22 @@ def write_maf(path: str, blocks: List[Block], qry_name: str,
             gaps2 = int((a2 == ord("-")).sum())
             chr_len = int(g.lengths[ref_idx])
             if blk.coor.b_dir:
-                fh.write(f"a score={score}\n")
-                fh.write(f"s ref.{ref_name} {blk.coor.g_pos - 1} "
-                         f"{blk.aln_len - gaps1} + {chr_len} "
-                         f"{a1.tobytes().decode('latin1')}\n")
-                fh.write(f"s qry.{qn} {int(blk.q_pos[0])} "
-                         f"{blk.aln_len - gaps2} + {qry_total} "
-                         f"{a2.tobytes().decode('latin1')}\n\n")
+                r_start = blk.coor.g_pos - 1
+                q_start = int(blk.q_pos[0])
             else:
                 r_last = int(blk.r_pos[-1] + blk.r_len[-1] - 1)
-                gpos = gen_coordinate_info(chr_index, r_last).g_pos
+                r_start = gen_coordinate_info(chr_index, r_last).g_pos - 1
                 a1 = self_complementary(a1)
                 a2 = self_complementary(a2)
                 q_start = qry_total - int(blk.q_pos[-1] + blk.q_len[-1])
-                fh.write(f"a score={score}\n")
-                fh.write(f"s ref.{ref_name} {gpos - 1} "
-                         f"{blk.aln_len - gaps1} + {chr_len} "
-                         f"{a1.tobytes().decode('latin1')}\n")
-                fh.write(f"s qry.{qn} {q_start} "
-                         f"{blk.aln_len - gaps2} + {qry_total} "
-                         f"{a2.tobytes().decode('latin1')}\n\n")
+            fh.write(f"a score={score}\n".encode())
+            fh.write(f"s ref.{ref_name} {r_start} "
+                     f"{blk.aln_len - gaps1} + {chr_len} ".encode())
+            fh.write(a1.tobytes())
+            fh.write(f"\ns qry.{qn} {q_start} "
+                     f"{blk.aln_len - gaps2} + {qry_total} ".encode())
+            fh.write(a2.tobytes())
+            fh.write(b"\n\n")
 
 
 def write_aln(path: str, blocks: List[Block], qry_name: str,
