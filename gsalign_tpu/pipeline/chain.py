@@ -85,29 +85,61 @@ def _remove_outlier_seeds(pd: np.ndarray, b_seed: np.ndarray,
                           cfg: AlignConfig, genome_size: int) -> None:
     """RemoveOutlierSeeds + RefinePDFmap + Check_PD_Frequency
     (src/GSAlign.cpp:145-153, 245-296) on the [lo, hi) slice, in place."""
-    sel = np.nonzero(uniq[lo:hi])[0] + lo
-    if sel.size == 0:
+    _remove_outlier_seeds_batch(
+        pd, b_seed, uniq, np.asarray([lo], np.int64),
+        np.asarray([hi], np.int64), cfg, genome_size)
+
+
+def _remove_outlier_seeds_batch(pd: np.ndarray, b_seed: np.ndarray,
+                                uniq: np.ndarray, iv_lo: np.ndarray,
+                                iv_hi: np.ndarray, cfg: AlignConfig,
+                                genome_size: int) -> None:
+    """The outlier kill of _remove_outlier_seeds over MANY [lo, hi)
+    intervals at once (they partition the group — 13k tiny python calls
+    dominated the chain stage at 100 Mb). Per interval: histogram the
+    unique seeds' PosDiff>>4 bins, keep the FIRST max-count bin (std::map
+    ascending-iteration semantics), zero bins >= 3 away, average the
+    survivors' PosDiff (C++ truncating division), kill seeds far from the
+    average whose bin frequency is below Min_PD_Freq."""
+    u = np.nonzero(uniq)[0]
+    su = np.searchsorted(u, iv_lo)
+    eu = np.searchsorted(u, iv_hi)
+    nz = eu > su
+    su, eu = su[nz], eu[nz]
+    if su.size == 0:
         return
-    bins = pd[sel] >> 4                       # arithmetic shift
-    uniq_bins, counts = np.unique(bins, return_counts=True)
-    # RefinePDFmap: zero bins >= 3 away from the max-frequency bin.
-    # std::map iteration is ascending; "iter->second > max.second" keeps the
-    # FIRST (smallest) bin among ties.
-    max_i = int(np.argmax(counts))            # argmax -> first max, ascending
-    max_bin = int(uniq_bins[max_i]) if counts[max_i] > 0 else 0
-    if counts[max_i] == 0:
-        max_bin = 0
-    freq = counts.copy()
-    freq[np.abs(uniq_bins - max_bin) >= 3] = 0
-    bin_freq = dict(zip(uniq_bins.tolist(), freq.tolist()))
-    good = freq[np.searchsorted(uniq_bins, bins)] > 0
-    n_good = int(good.sum())
-    if n_good > 0:
-        avg = _trunc_div(int(pd[sel[good]].sum()), n_good)
-    else:
-        avg = genome_size
-    kill = (np.abs(avg - pd[sel]) > cfg.max_indel_size) & \
-        (freq[np.searchsorted(uniq_bins, bins)] < cfg.min_pd_freq)
+    lens = eu - su
+    sel = u[_segidx(su, lens)]              # unique seed idx, interval-major
+    iid = np.repeat(np.arange(su.size, dtype=np.int64), lens)
+    iv_bounds = np.concatenate([[0], np.cumsum(lens)])
+    binv = pd[sel] >> 4                     # arithmetic shift
+    bmin = int(binv.min())
+    span = int(binv.max()) - bmin + 1
+    key = iid * span + (binv - bmin)
+    ukey, counts = np.unique(key, return_counts=True)
+    kid = ukey // span
+    seg = np.nonzero(np.concatenate([[True], kid[1:] != kid[:-1]]))[0]
+    segmax = np.maximum.reduceat(counts, seg)
+    segid = np.cumsum(np.concatenate(
+        [[0], (kid[1:] != kid[:-1]).astype(np.int64)]))
+    # first max-count bin per interval: reversed fill keeps the first
+    is_max = counts == segmax[segid]
+    first_max = np.zeros(seg.size, dtype=np.int64)
+    hit = np.nonzero(is_max)[0]
+    first_max[segid[hit[::-1]]] = hit[::-1]
+    max_bin = ukey[first_max] % span        # per present-interval, offset
+    freq = np.where(np.abs((ukey % span) - max_bin[segid]) >= 3, 0, counts)
+    freq_elem = freq[np.searchsorted(ukey, key)]
+    good = freq_elem > 0
+    pd_sel = pd[sel]
+    sums = np.add.reduceat(np.where(good, pd_sel, 0), iv_bounds[:-1])
+    ngood = np.add.reduceat(good.astype(np.int64), iv_bounds[:-1])
+    safe = np.maximum(ngood, 1)
+    avg = np.where(ngood > 0,
+                   np.sign(sums) * (np.abs(sums) // safe),   # trunc toward 0
+                   np.int64(genome_size))
+    kill = (np.abs(avg[iid] - pd_sel) > cfg.max_indel_size) & \
+        (freq_elem < cfg.min_pd_freq)
     b_seed[sel[kill]] = False
 
 
@@ -136,6 +168,7 @@ def _outlier_pass(q_pos, pd, b_seed, uniq, cfg, genome_size) -> None:
     cand_qp = q_pos[u[cand_k]]
     i_full = 0
     base = 0                  # uniques consumed before the current reset
+    bounds = [0]
     while base + 29 < u.size:
         i1 = int(np.searchsorted(cand_k, base + 29))
         i2 = int(np.searchsorted(cand_qp, q_pos[i_full] + 3000,
@@ -145,10 +178,15 @@ def _outlier_pass(q_pos, pd, b_seed, uniq, cfg, genome_size) -> None:
             break
         k = int(cand_k[ci])
         j = int(u[k])
-        _remove_outlier_seeds(pd, b_seed, uniq, i_full, j, cfg, genome_size)
+        bounds.append(j)
         i_full = j
         base = k + 1          # the trigger unique was counted, then reset
-    _remove_outlier_seeds(pd, b_seed, uniq, i_full, n, cfg, genome_size)
+    bounds.append(n)
+    bv = np.asarray(bounds, dtype=np.int64)
+    # the intervals partition the group and the kill of one never affects
+    # another (the predicate reads pd/uniq only), so batch them
+    _remove_outlier_seeds_batch(pd, b_seed, uniq, bv[:-1], bv[1:], cfg,
+                                genome_size)
 
 
 def _resolve_repeats(q_pos, pd, b_seed, uniq, cfg, genome_size) -> None:
