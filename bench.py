@@ -13,10 +13,11 @@ v1.0.22, -t 4) on the same pairs on this 4-core host (see BASELINE.md;
 the repo publishes no numbers). vs_baseline = baseline_seconds / ours
 (>1 means faster than the C reference).
 
-Configs: 4.6 Mb (E. coli scale), 12 Mb (yeast scale), and — because the
-driver's wall-clock budget is finite — 100 Mb (C. elegans scale) only when
-GSALIGN_BENCH_FULL=1. Extra rows: DP kernel Gcells/s (incl. traceback) and
-index build seconds per config (persisted across warm runs).
+Configs: 4.6 Mb (E. coli scale), 12 Mb (yeast scale), and 100 Mb
+(C. elegans scale — the scale where the TPU build beats the C reference;
+set GSALIGN_BENCH_SMALL=1 to skip it when wall-clock is tight). Extra
+rows: DP kernel Gcells/s (incl. traceback) and index build seconds per
+config (persisted across warm runs).
 """
 
 from __future__ import annotations
@@ -32,9 +33,9 @@ CONFIGS = [
     ("ecoli_4.6mb", 4_600_000, 0.21),
     ("yeast_12mb", 12_000_000, 1.09),
 ]
-if os.environ.get("GSALIGN_BENCH_FULL"):
+if not os.environ.get("GSALIGN_BENCH_SMALL"):
     CONFIGS.append(("celegans_100mb", 100_000_000, 15.8))
-REPS = {"ecoli_4.6mb": 5, "yeast_12mb": 3, "celegans_100mb": 1}
+REPS = {"ecoli_4.6mb": 5, "yeast_12mb": 3, "celegans_100mb": 2}
 
 
 def ensure_data(tag: str, total_len: int):
