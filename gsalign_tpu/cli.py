@@ -175,7 +175,7 @@ def main(argv=None) -> int:
         prefix = os.path.splitext(ref_file)[0] or ref_file
         records = read_fasta(ref_file)
         genome = pack_genome(records)
-        fm = build_fmindex(genome)
+        fm = build_fmindex(genome, threads=cfg.thread_num)
         save_index(fm, prefix)
     else:
         print("Please specify a valid reference genome", file=sys.stderr)

@@ -91,6 +91,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
             ctypes.c_int]
+        lib.seg_gather_u8.restype = None
+        lib.seg_gather_u8.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -182,6 +191,30 @@ def pack_2bit(codes: np.ndarray,
     c = np.ascontiguousarray(codes, dtype=np.uint8)
     out = np.empty(-(-c.shape[0] // 16), dtype=np.uint32)
     lib.pack_2bit(c, c.shape[0], out, threads or default_threads())
+    return out
+
+
+def seg_gather_u8(src: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                  out: Optional[np.ndarray] = None,
+                  offs: Optional[np.ndarray] = None,
+                  threads: Optional[int] = None) -> Optional[np.ndarray]:
+    """out = concat_i src[starts[i] : starts[i]+lens[i]], multithreaded.
+    None if the lib is unavailable. `offs` (exclusive cumsum of lens, with
+    the total appended) may be passed to skip recomputing it; `out` may be
+    a preallocated buffer of the total size."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    if offs is None:
+        offs = np.concatenate([[0], np.cumsum(lens)])
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    if out is None:
+        out = np.empty(int(offs[-1]), dtype=np.uint8)
+    lib.seg_gather_u8(np.ascontiguousarray(src, dtype=np.uint8), starts,
+                      lens, offs, starts.shape[0], out,
+                      threads or default_threads())
     return out
 
 

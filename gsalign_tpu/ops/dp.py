@@ -110,8 +110,12 @@ def _dp_forward_batch(q_codes, t_codes, ql, tl, L):
 
     z0 = jnp.zeros((B, L), i32)
     qrr0 = jnp.full((B, L), WILDCARD, i32)
+    # unroll: each anti-diagonal is a handful of small fused kernels whose
+    # launch overhead dominates at these widths (~300 us/row at [2048, 64]);
+    # unrolling amortizes the per-step dispatch across 8 rows
     (_, _, _, _, _), d_rows = jax.lax.scan(
-        row, (z0, z0, z0, z0, qrr0), jnp.arange(n_rows, dtype=i32))
+        row, (z0, z0, z0, z0, qrr0), jnp.arange(n_rows, dtype=i32),
+        unroll=8)
     return d_rows   # uint8 [2L-1, B, L]
 
 
@@ -152,7 +156,7 @@ def _traceback_single(d_rows, ql, tl, L):
 
     ops0 = jnp.full(n_steps, OP_PAD, jnp.uint8)
     carry = (tl - 1, ql - 1, i32(0), ops0)
-    _, _, _, ops = jax.lax.fori_loop(0, n_steps, step, carry)
+    _, _, _, ops = jax.lax.fori_loop(0, n_steps, step, carry, unroll=8)
     return ops  # uint8 [2L], reverse-order ops, OP_PAD tail
 
 

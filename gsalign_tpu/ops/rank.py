@@ -25,6 +25,7 @@ from gsalign_tpu.index.fmindex import FMIndex, WORDS_PER_BLOCK
 
 UNION_ROW = 16   # uint32 words per row of the single-char rank table
 T3_ROW_WIDE = 100  # wide fused rows: 64 cp-low + 4 carry words + 32 syms
+SA_OFF = 2 * (65536 + 136)  # sa_samples offset inside comb_pairs (direct)
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -70,11 +71,16 @@ class DeviceFMIndex:
     # [c8 lo | lut lo | c8 sz | lut sz] (see seeding._seed_scan). Tables
     # keyed per query position must be 1-D on TPU (minor-dim tile padding);
     # this combined CLASS-keyed table is what makes that possible.
-    comb_pairs: jnp.ndarray   # rdtype [2 * (65536 + 136)]
+    # Direct-mode indexes append the FULL suffix array at SA_OFF so the
+    # scan's occurrence-resolution gather rides the same kernel (the
+    # sa_samples field is then a [1] dummy).
+    comb_pairs: jnp.ndarray   # rdtype [SA_OFF (+ seq_len+1 when direct)]
     # Overlapping 512-base windows of the packed fwd+RC text at stride 256:
     # row r = words [16r, 16r+32). Direct-extension seeding (unique-interval
     # lanes compare text to query 256 bases per gather) reads these; a [1,1]
-    # dummy when direct mode is off (sampled SA / wide).
+    # dummy when direct mode is off (sampled SA / wide). NB: slice gathers
+    # at arbitrary word offsets from a flat array were measured ~30x SLOWER
+    # than aligned row gathers — keep the duplicated-row layout.
     text_rows: jnp.ndarray    # uint32 [ceil(2N/256), 32] | [1, 1]
     seq_len: int
     primary: int
@@ -138,12 +144,18 @@ class DeviceFMIndex:
         if c8 is None:                     # pre-v4 in-memory index
             from gsalign_tpu.index.fmindex import _build_c8
             c8 = _build_c8(fm.genome.codes_fwd_rc(), fm.seq_len)
-        comb = np.concatenate([c8[:, 0], lut[:, 0], c8[:, 1], lut[:, 1]])
+        comb_parts = [c8[:, 0], lut[:, 0], c8[:, 1], lut[:, 1]]
+        if direct_ok:
+            comb_parts.append(fm.sa_samples)
+            sa_field = np.zeros(1, dtype=np.int32)
+        else:
+            sa_field = fm.sa_samples
+        comb = np.concatenate(comb_parts)
         dfm = DeviceFMIndex(
             union=jnp.asarray(union),
             t3=jnp.asarray(rows3),
             l2=jnp.asarray(fm.l2, dtype=rdt),
-            sa_samples=jnp.asarray(fm.sa_samples, dtype=rdt),
+            sa_samples=jnp.asarray(sa_field, dtype=rdt),
             c64=jnp.asarray(fm.c64, dtype=rdt),
             t3_exc_pos=jnp.asarray(fm.t3_exc_pos, dtype=rdt),
             t3_exc_chr=jnp.asarray(fm.t3_exc_chr, dtype=jnp.int32),
@@ -378,6 +390,8 @@ def resolve_sa(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     nearest sampled one, then add the stored SA value (mod seq_len+1).
     With a full SA (sa_intv == 1) this is a single gather."""
     if dfm.sa_intv == 1:
+        if dfm.direct_ok:
+            return dfm.comb_pairs[SA_OFF + k]
         return dfm.sa_samples[k]
     k = k.astype(dfm.rdtype)
     mask = jnp.asarray(dfm.sa_intv - 1, dfm.rdtype)

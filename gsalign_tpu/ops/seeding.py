@@ -153,7 +153,7 @@ def _extract256(rows: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray:
                                    "sensitive", "max_out"))
 def _seed_scan(dfm: DeviceFMIndex,
                poslut: jnp.ndarray,      # uint32 [Lpad] (_build_poslut)
-               q_rows: jnp.ndarray,      # uint32 [R, 64] (_build_qrows)
+               q_rows: jnp.ndarray,      # uint32 flat (_build_qrows)
                starts: jnp.ndarray,      # int32 [B]
                emit_stops: jnp.ndarray,  # int32 [B] stop recording starts here
                ext_stops: jnp.ndarray,   # int32 [B] extension clip (may be
@@ -173,7 +173,7 @@ def _seed_scan(dfm: DeviceFMIndex,
     use8 = min_seed_length > 8
     direct = dfm.direct_ok
     Lpad = poslut.shape[0]
-    n_sa = dfm.sa_samples.shape[0]
+    n_sa = dfm.seq_len + 1 if direct else dfm.sa_samples.shape[0]
     n_trow = dfm.text_rows.shape[0]
     n_qrow = q_rows.shape[0]
     seq_len = dfm.seq_len
@@ -244,13 +244,17 @@ def _seed_scan(dfm: DeviceFMIndex,
         real8 = (flags & 16) > 0
         b1c = 3 - cls1
         half = i32(65536 + 136)
-        idx6 = jnp.concatenate([cls8, 65536 + cls3, 65536 + 64 + b1c,
-                                half + cls8, half + 65536 + cls3,
-                                half + 65536 + 64 + b1c])    # [6B]
-        vals = dfm.comb_pairs[idx6]
+        segs = [cls8, 65536 + cls3, 65536 + 64 + b1c,
+                half + cls8, half + 65536 + cls3,
+                half + 65536 + 64 + b1c]
+        if direct:
+            # the direct path's SA lookup rides the same gather kernel
+            segs.append(rank_ops.SA_OFF
+                        + jnp.clip(ik1, 0, n_sa - 1).astype(i32))
+        vals = dfm.comb_pairs[jnp.concatenate(segs)]
         i8_lo, i3_lo, lo1 = vals[:B], vals[B:2 * B], vals[2 * B:3 * B]
         i8_sz, i3_sz, sz1 = (vals[3 * B:4 * B], vals[4 * B:5 * B],
-                             vals[5 * B:])
+                             vals[5 * B:6 * B])
 
         # ---- INIT step ----
         init_amb = ~b1ok
@@ -294,8 +298,7 @@ def _seed_scan(dfm: DeviceFMIndex,
         # ---- DIRECT step: unique-interval lanes compare text to query ----
         if direct:
             sl = i32(seq_len)
-            rc_pos = dfm.sa_samples[
-                jnp.clip(ik1, 0, n_sa - 1).astype(i32)]       # [B] i32
+            rc_pos = vals[6 * B:].astype(i32)                 # [B] SA lookup
             dir_off = jnp.where(in_dir & ~s["dir_set"],
                                 sl - rc_pos - ext_pos, s["dir_off"])
             p = dir_off + ext_pos                 # text pos of next compare

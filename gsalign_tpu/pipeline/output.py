@@ -60,20 +60,27 @@ def _build_rows(blk: Block, qry_chars: np.ndarray, ref_chars: np.ndarray):
     gap_r = (~seeds) & ~has_aln & (blk.q_len == 0)
     gap_q = (~seeds) & ~has_aln & (blk.r_len == 0) & (blk.q_len > 0)
 
-    # Query row via ONE direct gather over the whole row: per-pair source
-    # deltas (q_pos - row offset for query-consuming pairs; harmless small
-    # indices elsewhere, overwritten below) repeated to row length plus an
-    # in-place arange. No scatter pass, no second full-size index array.
+    # Query row: segment copies per query-consuming pair (the multithreaded
+    # native memcpy kernel when available; spans of the other classes are
+    # fully overwritten below, so they may start as garbage).
+    from gsalign_tpu import native_lib
     qcons = seeds | direct | gap_q
     qn = int(qry_chars.shape[0])
-    idt = np.int32 if (total < 2**31 and qn < 2**31) else np.int64
-    qdelta = (np.where(qcons, blk.q_pos, 0).astype(np.int64)
-              - offs[:-1]).astype(idt)
-    src = np.repeat(qdelta, row_len)
-    src += np.arange(total, dtype=idt)
-    np.minimum(src, idt(qn - 1), out=src)   # bound non-qcons garbage spans
-    a2 = qry_chars[src]
     ridx = np.nonzero(gap_r)[0]
+    cidx = np.nonzero(qcons)[0]
+    a2 = None
+    if cidx.size:
+        a2 = native_lib.seg_gather_u8(
+            qry_chars, blk.q_pos[cidx], row_len[cidx],
+            out=np.empty(total, dtype=np.uint8), offs=offs[cidx])
+    if a2 is None:
+        idt = np.int32 if (total < 2**31 and qn < 2**31) else np.int64
+        qdelta = (np.where(qcons, blk.q_pos, 0).astype(np.int64)
+                  - offs[:-1]).astype(idt)
+        src = np.repeat(qdelta, row_len)
+        src += np.arange(total, dtype=idt)
+        np.minimum(src, idt(qn - 1), out=src)   # bound garbage spans
+        a2 = qry_chars[src]
     if ridx.size:                      # deletion spans: query row is gaps
         a2[_segment_indices(offs[ridx], row_len[ridx])] = _GAP
     for j in dp_idx:
@@ -91,8 +98,11 @@ def _build_rows(blk: Block, qry_chars: np.ndarray, ref_chars: np.ndarray):
         a1[dstd[diff]] = rch[diff]
     if ridx.size:                      # deletions: ref chars, a2 stays '-'
         lens = row_len[ridx]
-        a1[_segment_indices(offs[ridx], lens)] = \
-            ref_chars[_segment_indices(blk.r_pos[ridx], lens)]
+        if native_lib.seg_gather_u8(
+                ref_chars, blk.r_pos[ridx], lens, out=a1,
+                offs=offs[ridx]) is None:
+            a1[_segment_indices(offs[ridx], lens)] = \
+                ref_chars[_segment_indices(blk.r_pos[ridx], lens)]
     qidx = np.nonzero(gap_q)[0]
     if qidx.size:                      # insertions: a1 must be gaps
         lens = row_len[qidx]

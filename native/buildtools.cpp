@@ -163,4 +163,16 @@ void block_counts_u8(const uint8_t* vals, int64_t n, int32_t K,
     });
 }
 
+// Segmented gather: out = concat_i src[starts[i] : starts[i] + lens[i]].
+// offs[i] = sum of lens[:i] (precomputed exclusive cumsum, offs[k] = total).
+void seg_gather_u8(const uint8_t* src, const int64_t* starts,
+                   const int64_t* lens, const int64_t* offs, int64_t k,
+                   uint8_t* out, int nt) {
+    nt = clamp_threads(nt, k, 1 << 10);
+    parallel_ranges(k, nt, [&](int64_t s, int64_t e, int) {
+        for (int64_t i = s; i < e; ++i)
+            std::memcpy(out + offs[i], src + starts[i], size_t(lens[i]));
+    });
+}
+
 }  // extern "C"

@@ -50,7 +50,7 @@ def main():
     u32 = jnp.uint32
     Lpad = poslut.shape[0]
     n_sa = dfm.sa_samples.shape[0]
-    max_out = 627
+    max_out = 128
     sl = dfm.seq_len
 
     def loop(body, K, extra_state=None):
@@ -91,24 +91,41 @@ def main():
           round(bench(lambda poslut, K: loop(body1, K)["acc"],
                       (poslut,), K), 1), "us/iter", flush=True)
 
-    # 2: + sa gather
+    # 2: + sa riding the comb gather (7th segment)
     def body2(s):
-        s = body1(s)
-        sa = dfm.sa_samples[(mk_idx(s) % n_sa).astype(i32)]
-        return dict(s, acc=s["acc"] + sa.astype(i32))
+        look = mk_idx(s)
+        meta = poslut[look]
+        cls8 = (meta & u32(0xFFFF)).astype(i32)
+        cls3 = ((meta >> u32(16)) & u32(63)).astype(i32)
+        flags = (meta >> u32(22)).astype(i32)
+        b1c = 3 - ((flags >> 2) & 3)
+        half = i32(65536 + 136)
+        idx7 = jnp.concatenate([cls8, 65536 + cls3, 65536 + 64 + b1c,
+                                half + cls8, half + 65536 + cls3,
+                                half + 65536 + 64 + b1c,
+                                rank_ops.SA_OFF + (look % (sl - 200))])
+        vals = dfm.comb_pairs[idx7]
+        k2 = (look.astype(i32) % (sl - 200)).astype(dfm.rdtype)
+        cnt = rank_ops.occ_t3(dfm, jnp.concatenate([k2, k2 + 100]),
+                              jnp.concatenate([flags > 0] * 2),
+                              jnp.concatenate([cls3] * 2))
+        acc = (s["acc"] + cnt[:B].astype(i32) + vals[:B].astype(i32)
+               + vals[6 * B:].astype(i32))
+        return dict(s, k=s["k"] + 1, acc=acc)
 
-    print("2 +sa                  :",
+    print("2 +sa-in-comb          :",
           round(bench(lambda poslut, K: loop(body2, K)["acc"],
                       (poslut,), K), 1), "us/iter", flush=True)
 
-    # 3: + text/qrow gathers (no extraction)
+    # 3: + text/qrow row gathers
     n_tr = dfm.text_rows.shape[0]
     n_qr = q_rows.shape[0]
 
     def body3(s):
         s = body2(s)
-        trow = dfm.text_rows[(mk_idx(s) % n_tr).astype(i32)]
-        qrow = q_rows[(mk_idx(s) % n_qr).astype(i32)]
+        p = mk_idx(s)
+        trow = dfm.text_rows[(p % n_tr).astype(i32)]
+        qrow = q_rows[(p % n_qr).astype(i32)]
         return dict(s, acc=s["acc"] + trow[:, 0].astype(i32)
                     + qrow[:, 0].astype(i32))
 
@@ -138,23 +155,28 @@ def main():
           round(bench(lambda poslut, q_rows, K: loop(body4, K)["acc"],
                       (poslut, q_rows), K), 1), "us/iter", flush=True)
 
-    # 5: + one-hot emit buffer (planes-first layout)
+    # 5: + the production packed 3-plane emit (max_out = 128)
     def body5(s):
         s = body4(s)
         slot = s["acc"] % max_out
-        rec = jnp.stack([s["acc"]] * 4, axis=0).astype(dfm.rdtype)
         hot = (jnp.arange(max_out, dtype=i32)[None, :] == slot[:, None])
-        out = jnp.where(hot[None, :, :], rec[:, :, None], s["out"])
-        return dict(s, out=out)
+        m = jnp.where(hot, s["acc"].astype(u32)[:, None], s["m"])
+        c = jnp.where(hot, (s["acc"] * 3).astype(dfm.rdtype)[:, None],
+                      s["c"])
+        fq = jnp.where(hot, (s["acc"] % 101).astype(jnp.int8)[:, None],
+                       s["f"])
+        return dict(s, m=m, c=c, f=fq)
 
     def f5(poslut, q_rows, K):
         st = dict(k=jnp.zeros((), i32),
                   idx=(jnp.arange(B, dtype=i32) * 9973) % (Lpad - 300),
                   acc=jnp.zeros(B, i32),
-                  out=jnp.zeros((4, B, max_out), dfm.rdtype))
-        return jax.lax.while_loop(lambda s: s["k"] < K, body5, st)["out"]
+                  m=jnp.zeros((B, max_out), u32),
+                  c=jnp.zeros((B, max_out), dfm.rdtype),
+                  f=jnp.zeros((B, max_out), jnp.int8))
+        return jax.lax.while_loop(lambda s: s["k"] < K, body5, st)["m"]
 
-    print("5 +onehot emit         :",
+    print("5 +packed emit         :",
           round(bench(f5, (poslut, q_rows), K), 1), "us/iter", flush=True)
 
 
