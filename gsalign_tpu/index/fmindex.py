@@ -59,6 +59,9 @@ class FMIndex:
     # is < 8 < MinSeedLength, i.e. a miss — exactly the reference scan's
     # outcome, src/GSAlign.cpp:75-86).
     c8: Optional[np.ndarray] = None            # int64 [65536, 2]
+    # order-12 jump table (same contract, 12 bases per INIT step; only
+    # usable when MinSeedLength > 12 — a dead 12-mer must prove a miss)
+    c12: Optional[np.ndarray] = None           # int64 [4^12, 2]
 
     @property
     def rank_dtype(self):
@@ -169,12 +172,13 @@ def build_fmindex(genome: Genome, sa_intv: Optional[int] = None,
     t3_packed, t3_cp, c64, t3_exc_pos, t3_exc_chr = _build_t3_index(
         sa_full, g_ctx, t3, text, n, cp_dtype, threads)
     c8 = _build_c8(text, n, threads)
+    c12 = _build_c12(text, n, threads)
 
     return FMIndex(
         seq_len=n, primary=primary, l2=l2, bwt_packed=bwt_packed,
         occ_cp=occ_cp, sa_samples=sa_samples, sa_intv=sa_intv, genome=genome,
         t3_packed=t3_packed, t3_cp=t3_cp, c64=c64,
-        t3_exc_pos=t3_exc_pos, t3_exc_chr=t3_exc_chr, c8=c8,
+        t3_exc_pos=t3_exc_pos, t3_exc_chr=t3_exc_chr, c8=c8, c12=c12,
     )
 
 
@@ -209,6 +213,41 @@ def _build_c8(text: np.ndarray, n: int,
     out = np.empty((65536, 2), dtype=np.int64)
     out[:, 0] = starts[key8]
     out[:, 1] = counts[key8]
+    return out
+
+
+def _build_c12(text: np.ndarray, n: int,
+               threads: Optional[int] = None) -> np.ndarray:
+    """Order-12 jump table over BASE-4 keys + short-suffix corrections.
+
+    The 5^12 key space of the c8 construction would need a 2 GB histogram;
+    base-4 keys over full 12-mers give the block SIZES directly, and the
+    only rows base-4 misses are the <= 12 suffixes shorter than 12 chars
+    (incl. the sentinel row). A short suffix S (k chars) sorts below a
+    12-mer block g iff g >= S zero-padded ($ and missing chars sort below
+    every real char), so each one is a +1 step function on the starts.
+    """
+    from gsalign_tpu import native_lib
+    n_keys = 4 ** 12
+    counts = native_lib.c12_counts(text[:n], threads)
+    if counts is None:
+        if n >= 12:
+            t = text.astype(np.int64)
+            key = np.zeros(n - 11, dtype=np.int64)
+            for j in range(12):
+                key += t[j: n - 11 + j] << (2 * (11 - j))
+            counts = np.bincount(key, minlength=n_keys)
+        else:
+            counts = np.zeros(n_keys, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    for k in range(0, min(12, n + 1)):      # suffix of length k at n - k
+        lb = 0
+        for j in range(k):
+            lb += int(text[n - k + j]) << (2 * (11 - j))
+        starts[lb:] += 1
+    out = np.empty((n_keys, 2), dtype=np.int64)
+    out[:, 0] = starts
+    out[:, 1] = counts
     return out
 
 

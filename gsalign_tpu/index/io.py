@@ -14,7 +14,7 @@ import numpy as np
 from gsalign_tpu.genome.packing import Genome, Hole
 from gsalign_tpu.index.fmindex import FMIndex
 
-FORMAT_VERSION = 4
+FORMAT_VERSION = 5
 
 
 def save_index(fm: FMIndex, prefix: str) -> None:
@@ -39,11 +39,26 @@ def save_index(fm: FMIndex, prefix: str) -> None:
         lengths=g.lengths, offsets=g.offsets,
         t3_packed=fm.t3_packed, t3_cp=fm.t3_cp, c64=fm.c64,
         t3_exc_pos=fm.t3_exc_pos, t3_exc_chr=fm.t3_exc_chr, c8=fm.c8,
+        c12=fm.c12,
     )
 
 
 def index_exists(prefix: str) -> bool:
     return os.path.exists(prefix + ".json") and os.path.exists(prefix + ".npz")
+
+
+def index_loadable(prefix: str) -> bool:
+    """index_exists AND the artifact is the CURRENT format version — callers
+    that silently rebuild caches (bench, profiling) use this so a format
+    bump reads as "absent"; the CLI keeps index_exists + load so a stale
+    user index still aborts with the informative format error."""
+    if not index_exists(prefix):
+        return False
+    try:
+        with open(prefix + ".json") as fh:
+            return json.load(fh).get("format_version") == FORMAT_VERSION
+    except (OSError, ValueError):
+        return False
 
 
 def load_index(prefix: str) -> FMIndex:
@@ -75,4 +90,5 @@ def load_index(prefix: str) -> FMIndex:
         t3_exc_pos=data["t3_exc_pos"],
         t3_exc_chr=data["t3_exc_chr"],
         c8=data["c8"],
+        c12=data["c12"],
     )

@@ -77,6 +77,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int32,
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
             ctypes.c_int]
+        lib.c12_counts.restype = None
+        lib.c12_counts.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int]
         lib.ctx_gather_extract.restype = None
         lib.ctx_gather_extract.argtypes = [
             np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
@@ -159,6 +165,21 @@ def c8_counts(text: np.ndarray,
     t = np.ascontiguousarray(text, dtype=np.uint8)
     counts = np.zeros(5 ** 8, dtype=np.int64)
     lib.c8_counts(t, t.shape[0], counts, threads or default_threads())
+    return counts
+
+
+def c12_counts(text: np.ndarray,
+               threads: Optional[int] = None) -> Optional[np.ndarray]:
+    """Base-4 12-mer histogram over the 4^12 key space (fmindex._build_c12).
+
+    Rolling-key wait: the per-thread 134 MB histograms bound threads."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    t = np.ascontiguousarray(text, dtype=np.uint8)
+    counts = np.zeros(4 ** 12, dtype=np.int64)
+    nt = min(threads or default_threads(), 8)
+    lib.c12_counts(t, t.shape[0], counts, nt)
     return counts
 
 

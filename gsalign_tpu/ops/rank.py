@@ -25,7 +25,9 @@ from gsalign_tpu.index.fmindex import FMIndex, WORDS_PER_BLOCK
 
 UNION_ROW = 16   # uint32 words per row of the single-char rank table
 T3_ROW_WIDE = 100  # wide fused rows: 64 cp-low + 4 carry words + 32 syms
-SA_OFF = 2 * (65536 + 136)  # sa_samples offset inside comb_pairs (direct)
+# comb_pairs layout offsets (see the field's docstring)
+C12_OFF = 2 * (65536 + 136)            # c12 lo plane; sz plane at +4^12
+SA_OFF = C12_OFF + 2 * 4 ** 12         # sa_samples (direct indexes only)
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -67,13 +69,13 @@ class DeviceFMIndex:
     # bases' worth of rank queries in the seeding scan.
     c8lut: jnp.ndarray        # rdtype [65536, 2]
     # The seeding scan's per-iteration pair lookups, flattened 1-D so one
-    # gather with concatenated indices serves (i8, i3, single) x (lo, sz):
-    # [c8 lo | lut lo | c8 sz | lut sz] (see seeding._seed_scan). Tables
-    # keyed per query position must be 1-D on TPU (minor-dim tile padding);
-    # this combined CLASS-keyed table is what makes that possible.
-    # Direct-mode indexes append the FULL suffix array at SA_OFF so the
-    # scan's occurrence-resolution gather rides the same kernel (the
-    # sa_samples field is then a [1] dummy).
+    # gather with concatenated indices serves (i8, i3, single, i12) x
+    # (lo, sz): [c8 lo | lut lo | c8 sz | lut sz | c12 lo | c12 sz] (see
+    # seeding._seed_scan). Tables keyed per query position must be 1-D on
+    # TPU (minor-dim tile padding); this combined CLASS-keyed table is
+    # what makes that possible. Direct-mode indexes append the FULL suffix
+    # array at SA_OFF so the scan's occurrence-resolution gather rides the
+    # same kernel (the sa_samples field is then a [1] dummy).
     comb_pairs: jnp.ndarray   # rdtype [SA_OFF (+ seq_len+1 when direct)]
     # Overlapping 512-base windows of the packed fwd+RC text at stride 256:
     # row r = words [16r, 16r+32). Direct-extension seeding (unique-interval
@@ -144,7 +146,12 @@ class DeviceFMIndex:
         if c8 is None:                     # pre-v4 in-memory index
             from gsalign_tpu.index.fmindex import _build_c8
             c8 = _build_c8(fm.genome.codes_fwd_rc(), fm.seq_len)
-        comb_parts = [c8[:, 0], lut[:, 0], c8[:, 1], lut[:, 1]]
+        c12 = fm.c12
+        if c12 is None:                    # pre-v5 in-memory index
+            from gsalign_tpu.index.fmindex import _build_c12
+            c12 = _build_c12(fm.genome.codes_fwd_rc(), fm.seq_len)
+        comb_parts = [c8[:, 0], lut[:, 0], c8[:, 1], lut[:, 1],
+                      c12[:, 0], c12[:, 1]]
         if direct_ok:
             comb_parts.append(fm.sa_samples)
             sa_field = np.zeros(1, dtype=np.int32)

@@ -59,12 +59,13 @@ POISON_NONE = 0x7FFFFFFF
 
 @jax.jit
 def _build_poslut(dfm: DeviceFMIndex, qcodes: jnp.ndarray) -> jnp.ndarray:
-    """Per-position scan metadata, ONE u32 per query position:
+    """Per-position scan metadata, ONE u64 per query position:
 
-        bits  0..15  cls8   8-mer class of bases (p .. p+7)
-        bits 16..21  cls3   triple class of (p, p+1, p+2)
-        bits 22..26  flags  real3 | (b1_real << 1) | (cls1 << 2)
-                            | (real8 << 4)
+        bits  0..23  cls12  12-mer class of bases (p .. p+11); the low
+                            16 bits are cls8 of (p .. p+7)
+        bits 24..29  cls3   triple class of (p, p+1, p+2)
+        bits 30..35  flags  real3 | (b1_real << 1) | (cls1 << 2)
+                            | (real8 << 4) | (real12 << 5)
 
     The interval pairs these classes map to live in the tiny combined
     pair table (rank.DeviceFMIndex.comb_pairs) gathered per iteration —
@@ -74,7 +75,7 @@ def _build_poslut(dfm: DeviceFMIndex, qcodes: jnp.ndarray) -> jnp.ndarray:
     scale. Every intermediate here is likewise 1-D.
     """
     i32 = jnp.int32
-    u32 = jnp.uint32
+    u64 = jnp.uint64
     q = qcodes.astype(i32)
     four = jnp.full(1, 4, i32)
     b1 = q
@@ -84,19 +85,24 @@ def _build_poslut(dfm: DeviceFMIndex, qcodes: jnp.ndarray) -> jnp.ndarray:
     cls1 = 3 - b1c
     cls3 = (3 - jnp.clip(b3, 0, 3)) * 16 + (3 - jnp.clip(b2, 0, 3)) * 4         + (3 - b1c)
     real3 = (b1 <= 3) & (b2 <= 3) & (b3 <= 3)
-    # 8-mer class of the RC of bases (p..p+7): first RC char = comp(b8) in
-    # the HIGH bits (fmindex._build_c8 convention)
-    cls8 = jnp.zeros(q.shape[0], i32)
+    # 12-mer class of the RC of bases (p..p+11): first RC char = comp of
+    # the LAST base in the HIGH bits (fmindex._build_c8/_build_c12
+    # convention; cls8 is the low 16 bits)
+    cls12 = jnp.zeros(q.shape[0], i32)
     real8 = b1 <= 3
-    for o in range(8):                       # b_{o+1} = q[p+o], weight 4^o
+    real12 = b1 <= 3
+    for o in range(12):                      # b_{o+1} = q[p+o], weight 4^o
         bo = b1 if o == 0 else jnp.concatenate(
             [q[o:], jnp.full(o, 4, i32)])
-        real8 = real8 & (bo <= 3)
-        cls8 = cls8 + ((3 - jnp.clip(bo, 0, 3)) << (2 * o))
+        if o < 8:
+            real8 = real8 & (bo <= 3)
+        real12 = real12 & (bo <= 3)
+        cls12 = cls12 + ((3 - jnp.clip(bo, 0, 3)) << (2 * o))
     flags = (real3.astype(i32) | ((b1 <= 3).astype(i32) << 1)
-             | (cls1 << 2) | (real8.astype(i32) << 4))
-    return (cls8.astype(u32) | (cls3.astype(u32) << 16)
-            | (flags.astype(u32) << 22))
+             | (cls1 << 2) | (real8.astype(i32) << 4)
+             | (real12.astype(i32) << 5))
+    return (cls12.astype(u64) | (cls3.astype(u64) << 24)
+            | (flags.astype(u64) << 30))
 
 
 @jax.jit
@@ -171,6 +177,7 @@ def _seed_scan(dfm: DeviceFMIndex,
     # INIT-8 is only emission-exact when any sub-8 match is a guaranteed
     # miss; direct extension needs a one-gather SA and int32 positions
     use8 = min_seed_length > 8
+    use12 = min_seed_length > 12
     direct = dfm.direct_ok
     Lpad = poslut.shape[0]
     n_sa = dfm.seq_len + 1 if direct else dfm.sa_samples.shape[0]
@@ -234,19 +241,24 @@ def _seed_scan(dfm: DeviceFMIndex,
         # must be 1-D: a [Lpad, k] layout tile-pads k -> 128 minor lanes,
         # 51 GB at 100 Mb query scale)
         look = jnp.where(in_ext, ext_pos, cursor)
-        meta = poslut[jnp.clip(look, 0, Lpad - 1)]           # [B] u32
-        cls8 = (meta & u32(0xFFFF)).astype(i32)
-        cls3 = ((meta >> u32(16)) & u32(63)).astype(i32)
-        flags = (meta >> u32(22)).astype(i32)
+        meta = poslut[jnp.clip(look, 0, Lpad - 1)]           # [B] u64
+        u64 = jnp.uint64
+        cls12 = (meta & u64(0xFFFFFF)).astype(i32)
+        cls8 = cls12 & 0xFFFF
+        cls3 = ((meta >> u64(24)) & u64(63)).astype(i32)
+        flags = ((meta >> u64(30)) & u64(63)).astype(i32)
         real3 = (flags & 1) > 0
         b1ok = (flags & 2) > 0
         cls1 = (flags >> 2) & 3
         real8 = (flags & 16) > 0
+        real12 = (flags & 32) > 0
         b1c = 3 - cls1
         half = i32(65536 + 136)
+        n12 = i32(4 ** 12)
         segs = [cls8, 65536 + cls3, 65536 + 64 + b1c,
                 half + cls8, half + 65536 + cls3,
-                half + 65536 + 64 + b1c]
+                half + 65536 + 64 + b1c,
+                rank_ops.C12_OFF + cls12, rank_ops.C12_OFF + n12 + cls12]
         if direct:
             # the direct path's SA lookup rides the same gather kernel
             segs.append(rank_ops.SA_OFF
@@ -255,28 +267,37 @@ def _seed_scan(dfm: DeviceFMIndex,
         i8_lo, i3_lo, lo1 = vals[:B], vals[B:2 * B], vals[2 * B:3 * B]
         i8_sz, i3_sz, sz1 = (vals[3 * B:4 * B], vals[4 * B:5 * B],
                              vals[5 * B:6 * B])
+        i12_lo, i12_sz = vals[6 * B:7 * B], vals[7 * B:8 * B]
 
         # ---- INIT step ----
         init_amb = ~b1ok
-        # INIT-8: jump 8 bases via the c8 table; a dead 8-mer can only be a
-        # miss (len < 8 < min_seed), advancing the cursor by one — exactly
-        # the single-step outcome. INIT-3 likewise via the C64 range.
+        # INIT-12/INIT-8: jump 12 (8) bases via the c12 (c8) table; a dead
+        # k-mer can only be a miss (len < k < min_seed), advancing the
+        # cursor by one — exactly the single-step outcome. INIT-3 likewise
+        # via the C64 range.
+        if use12:
+            init_can12 = in_init & b1ok & real12 & (cursor + 11 < ext_stops)
+        else:
+            init_can12 = jnp.zeros(B, jnp.bool_)
         if use8:
-            init_can8 = in_init & b1ok & real8 & (cursor + 7 < ext_stops)
+            init_can8 = in_init & b1ok & real8 & (cursor + 7 < ext_stops) \
+                & ~init_can12
         else:
             init_can8 = jnp.zeros(B, jnp.bool_)
         init_can3 = in_init & b1ok & real3 & (cursor + 2 < ext_stops) \
-            & ~init_can8
+            & ~init_can8 & ~init_can12
 
         # ---- EXT step: triple (3 bases) when possible, else single ----
         can3 = iv_ext & (ext_pos + 2 < ext_stops) & real3 & ~tri_failed
         cls = jnp.where(can3, cls3, cls1)
 
+        init12_dead = init_can12 & (i12_sz == 0)
         init8_dead = init_can8 & (i8_sz == 0)
         init3_dead = init_can3 & (i3_sz == 0)
+        start_ext12 = init_can12 & ~init12_dead
         start_ext8 = init_can8 & ~init8_dead
         start_ext3 = init_can3 & ~init3_dead
-        start_ext1 = in_init & b1ok & ~init_can8 & ~init_can3
+        start_ext1 = in_init & b1ok & ~init_can12 & ~init_can8 & ~init_can3
 
         cnt = rank_ops.occ_t3(
             dfm, jnp.concatenate([ik1, ik1 + ik2]),
@@ -298,7 +319,7 @@ def _seed_scan(dfm: DeviceFMIndex,
         # ---- DIRECT step: unique-interval lanes compare text to query ----
         if direct:
             sl = i32(seq_len)
-            rc_pos = vals[6 * B:].astype(i32)                 # [B] SA lookup
+            rc_pos = vals[8 * B:].astype(i32)                 # [B] SA lookup
             dir_off = jnp.where(in_dir & ~s["dir_set"],
                                 sl - rc_pos - ext_pos, s["dir_off"])
             p = dir_off + ext_pos                 # text pos of next compare
@@ -383,35 +404,42 @@ def _seed_scan(dfm: DeviceFMIndex,
         out_n = s["out_n"] + do_emit.astype(i32)
 
         # ---- state updates ----
-        start_ext = start_ext8 | start_ext3 | start_ext1
+        start_ext = start_ext12 | start_ext8 | start_ext3 | start_ext1
         step = jnp.where(can3, 3, 1)
         new_phase = jnp.where(start_ext, PHASE_EXT,
                               jnp.where(finalize, PHASE_INIT, phase))
         new_cursor = jnp.where(
             poisoned_now, emit_stops,
-            jnp.where(in_init & (init_amb | init3_dead | init8_dead),
+            jnp.where(in_init & (init_amb | init3_dead | init8_dead
+                                 | init12_dead),
                       cursor + 1,
                       jnp.where(finalize, advance, cursor)))
         new_poison = jnp.where(poisoned_now & (poison == POISON_NONE),
                                ext_start, poison)
         new_ext_start = jnp.where(start_ext, cursor, ext_start)
         new_ext_pos = jnp.where(
-            start_ext8, cursor + 8,
-            jnp.where(start_ext3, cursor + 3,
-                      jnp.where(start_ext1, cursor + 1,
-                                jnp.where(ext_ok, ext_pos + step,
-                                          jnp.where(dir_adv, dir_ext_pos,
-                                                    ext_pos)))))
-        new_ik1 = jnp.where(start_ext8, i8_lo,
-                            jnp.where(start_ext3, i3_lo,
-                                      jnp.where(start_ext1, lo1,
-                                                jnp.where(ext_ok, e_ik1,
-                                                          ik1))))
-        new_ik2 = jnp.where(start_ext8, i8_sz,
-                            jnp.where(start_ext3, i3_sz,
-                                      jnp.where(start_ext1, sz1,
-                                                jnp.where(ext_ok, e_ik2,
-                                                          ik2))))
+            start_ext12, cursor + 12,
+            jnp.where(start_ext8, cursor + 8,
+                      jnp.where(start_ext3, cursor + 3,
+                                jnp.where(start_ext1, cursor + 1,
+                                          jnp.where(ext_ok, ext_pos + step,
+                                                    jnp.where(dir_adv,
+                                                              dir_ext_pos,
+                                                              ext_pos))))))
+        new_ik1 = jnp.where(start_ext12, i12_lo,
+                            jnp.where(start_ext8, i8_lo,
+                                      jnp.where(start_ext3, i3_lo,
+                                                jnp.where(start_ext1, lo1,
+                                                          jnp.where(ext_ok,
+                                                                    e_ik1,
+                                                                    ik1)))))
+        new_ik2 = jnp.where(start_ext12, i12_sz,
+                            jnp.where(start_ext8, i8_sz,
+                                      jnp.where(start_ext3, i3_sz,
+                                                jnp.where(start_ext1, sz1,
+                                                          jnp.where(ext_ok,
+                                                                    e_ik2,
+                                                                    ik2)))))
         new_tf = jnp.where(start_ext | finalize, False,
                            jnp.where(tri_miss, True,
                                      jnp.where(ext_ok, False, tri_failed)))

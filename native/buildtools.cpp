@@ -89,6 +89,33 @@ void c8_counts(const uint8_t* text, int64_t n, int64_t* counts, int nt) {
     }
 }
 
+// counts[key(i)] += 1 for i in [0, n-12]; key(i) = base-4 value of
+// text[i..i+11] (the order-12 jump-table key space, fmindex._build_c12).
+// counts has 4^12 slots, pre-zeroed by caller. No-op when n < 12.
+void c12_counts(const uint8_t* text, int64_t n, int64_t* counts, int nt) {
+    constexpr int64_t BINS = int64_t(1) << 24;  // 4^12
+    int64_t total = n - 11;
+    if (total <= 0) return;
+    nt = clamp_threads(nt, total, 1 << 20);
+    std::vector<std::vector<int64_t>> local(nt);
+    parallel_ranges(total, nt, [&](int64_t s, int64_t e, int t) {
+        std::vector<int64_t>& h = local[t];
+        h.assign(BINS, 0);
+        // rolling right-to-left: key(i) = t[i]*4^11 + key(i+1)/4
+        int64_t key = 0;  // key(e) if e <= n-12, else recomputed per-entry
+        for (int64_t j = 0; j < 12 && e + j < n; ++j)
+            key |= int64_t(text[e + j]) << (2 * (11 - j));
+        for (int64_t i = e - 1; i >= s; --i) {
+            key = (int64_t(text[i]) << 22) | (key >> 2);
+            ++h[key];
+        }
+    });
+    for (int t = 0; t < nt; ++t) {
+        if (local[t].empty()) continue;
+        for (int64_t b = 0; b < BINS; ++b) counts[b] += local[t][b];
+    }
+}
+
 // Fused context build + SA gather + symbol extraction, one parallel pass:
 //   ctx(p)   = packed (prev3,prev2,prev1,cur,nxt1,nxt2) context of text
 //              position p (the uint16 layout of fmindex.build_fmindex)

@@ -6,7 +6,7 @@ import numpy as np
 import gsalign_tpu
 from gsalign_tpu.genome.fasta import read_fasta
 from gsalign_tpu.genome.packing import pack_genome, chars_to_codes
-from gsalign_tpu.index.io import load_index, save_index, index_exists
+from gsalign_tpu.index.io import load_index, save_index, index_loadable
 from gsalign_tpu.index.fmindex import build_fmindex
 from gsalign_tpu.ops.rank import DeviceFMIndex
 from gsalign_tpu.ops.seeding import find_seeds
@@ -18,7 +18,7 @@ from gsalign_tpu.pipeline.output import write_maf
 from gsalign_tpu.pipeline.variants import VariantCollector, identify_variants, write_vcf
 
 prefix = sys.argv[1] if len(sys.argv) > 1 else '/tmp/gsalign_bench'
-if index_exists(f'{prefix}/ref_idx'):
+if index_loadable(f'{prefix}/ref_idx'):
     fm = load_index(f'{prefix}/ref_idx')
 else:
     fm = build_fmindex(pack_genome(read_fasta(f'{prefix}/ref.fa')))
