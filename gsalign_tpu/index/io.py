@@ -14,7 +14,7 @@ import numpy as np
 from gsalign_tpu.genome.packing import Genome, Hole
 from gsalign_tpu.index.fmindex import FMIndex
 
-FORMAT_VERSION = 5
+FORMAT_VERSION = 6
 
 
 def save_index(fm: FMIndex, prefix: str) -> None:
@@ -32,6 +32,25 @@ def save_index(fm: FMIndex, prefix: str) -> None:
     }
     with open(prefix + ".json", "w") as fh:
         json.dump(manifest, fh)
+    # The c12 jump table is [4^12, 2] int64 = 268 MB regardless of genome
+    # size; its starts column is cumsum(counts) plus <= 13 short-suffix +1
+    # steps (fmindex._build_c12), so persist only the counts (uint32 unless
+    # a single 12-mer exceeds 2^32 occurrences) and the step positions.
+    counts = fm.c12[:, 1]
+    base = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    diff = fm.c12[:, 0] - base          # nondecreasing, 0 .. n_steps
+    n_steps = int(diff[-1]) if diff.size else 0
+    c12_steps = np.searchsorted(diff, np.arange(1, n_steps + 1),
+                                side="left").astype(np.int64)
+    cdt = (np.int64 if counts.size and int(counts.max()) >= 2 ** 32
+           else np.uint32)
+    nz = np.nonzero(counts)[0]
+    extra = {}
+    if nz.size * 2 < counts.size:       # sparse beats a dense 4 B/key plane
+        extra["c12_idx"] = nz.astype(np.int32)
+        extra["c12_val"] = counts[nz].astype(cdt)
+    else:
+        extra["c12_sz"] = counts.astype(cdt)
     np.savez(
         prefix + ".npz",
         l2=fm.l2, bwt_packed=fm.bwt_packed, occ_cp=fm.occ_cp,
@@ -39,7 +58,7 @@ def save_index(fm: FMIndex, prefix: str) -> None:
         lengths=g.lengths, offsets=g.offsets,
         t3_packed=fm.t3_packed, t3_cp=fm.t3_cp, c64=fm.c64,
         t3_exc_pos=fm.t3_exc_pos, t3_exc_chr=fm.t3_exc_chr, c8=fm.c8,
-        c12=fm.c12,
+        c12_steps=c12_steps, **extra,
     )
 
 
@@ -90,5 +109,23 @@ def load_index(prefix: str) -> FMIndex:
         t3_exc_pos=data["t3_exc_pos"],
         t3_exc_chr=data["t3_exc_chr"],
         c8=data["c8"],
-        c12=data["c12"],
+        c12=_unpack_c12(data, data["c12_steps"]),
     )
+
+
+def _unpack_c12(data, steps: np.ndarray) -> np.ndarray:
+    """Rebuild the [4^12, 2] int64 jump table from its persisted form
+    (dense counts plane, or sparse (idx, val) when few 12-mers occur)."""
+    if "c12_sz" in data:
+        counts = data["c12_sz"]
+    else:
+        counts = np.zeros(4 ** 12, dtype=np.int64)
+        counts[data["c12_idx"]] = data["c12_val"]
+    n = counts.shape[0]
+    out = np.zeros((n, 2), dtype=np.int64)
+    out[:, 1] = counts
+    if n > 1:
+        np.cumsum(counts[:-1].astype(np.int64), out=out[1:, 0])
+    for lb in steps:
+        out[lb:, 0] += 1
+    return out

@@ -32,8 +32,8 @@ SA_OFF = C12_OFF + 2 * 4 ** 12         # sa_samples (direct indexes only)
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["union", "t3", "l2",
-                      "sa_samples", "c64", "t3_exc_pos", "t3_exc_chr", "lut",
-                      "c8lut", "comb_pairs", "text_rows"],
+                      "sa_samples", "c64", "t3_exc_pos", "t3_exc_chr",
+                      "comb_pairs", "text_rows"],
          meta_fields=["seq_len", "primary", "sa_intv", "wide", "direct_ok"])
 @dataclasses.dataclass(frozen=True)
 class DeviceFMIndex:
@@ -56,23 +56,16 @@ class DeviceFMIndex:
     c64: jnp.ndarray          # rdtype [65]
     t3_exc_pos: jnp.ndarray   # rdtype [3]
     t3_exc_chr: jnp.ndarray   # int32 [3]
-    # Fused interval/base LUT for the seeding loop: ONE [B,2] gather serves
-    # what were five small-table lookups per iteration (each XLA gather op
-    # pays a fixed dispatch cost that dominates small-batch seeding):
+    # The seeding scan's per-iteration pair lookups, flattened 1-D so one
+    # gather with per-lane SELECTED indices serves every scan class:
+    # [c8 lo (65536) | lut lo (136) | c8 sz | lut sz | c12 lo | c12 sz]
+    # where the lut rows are
     #  rows   0..63   triple INIT  (C64[g], C64[g+1]-C64[g])
     #  rows  64..67   single INIT by query base c (L2[3-c]+1, L2[c+1]-L2[c])
     #  rows  68..131  triple EXT base (C64[g], 0)
     #  rows 132..135  single EXT base by class c (L2[c]+1, 0)
-    lut: jnp.ndarray          # rdtype [136, 2]
-    # Order-8 INIT jump: (interval start, size) of the suffix block of every
-    # 8-mer (fmindex._build_c8). One poslut gather replaces the first 8
-    # bases' worth of rank queries in the seeding scan.
-    c8lut: jnp.ndarray        # rdtype [65536, 2]
-    # The seeding scan's per-iteration pair lookups, flattened 1-D so one
-    # gather with concatenated indices serves (i8, i3, single, i12) x
-    # (lo, sz): [c8 lo | lut lo | c8 sz | lut sz | c12 lo | c12 sz] (see
-    # seeding._seed_scan). Tables keyed per query position must be 1-D on
-    # TPU (minor-dim tile padding); this combined CLASS-keyed table is
+    # (see seeding._seed_scan). Tables keyed per query position must be 1-D
+    # on TPU (minor-dim tile padding); this combined CLASS-keyed table is
     # what makes that possible. Direct-mode indexes append the FULL suffix
     # array at SA_OFF so the scan's occurrence-resolution gather rides the
     # same kernel (the sa_samples field is then a [1] dummy).
@@ -166,8 +159,6 @@ class DeviceFMIndex:
             c64=jnp.asarray(fm.c64, dtype=rdt),
             t3_exc_pos=jnp.asarray(fm.t3_exc_pos, dtype=rdt),
             t3_exc_chr=jnp.asarray(fm.t3_exc_chr, dtype=jnp.int32),
-            lut=jnp.asarray(lut, dtype=rdt),
-            c8lut=jnp.asarray(c8, dtype=rdt),
             comb_pairs=jnp.asarray(comb, dtype=rdt),
             text_rows=jnp.asarray(text_rows),
             seq_len=int(fm.seq_len),

@@ -20,7 +20,7 @@ Lane done when cursor >= stop in INIT phase.
 
 Speed (three stacked shortcuts, all exactly seed-set-preserving):
   INIT-8:  the interval of the first EIGHT appended bases is a direct
-           c8 table row (rank.DeviceFMIndex.c8lut) — zero rank queries;
+           c8 table row (rank.DeviceFMIndex.comb_pairs) — zero rank queries;
            an empty row proves the local match is < 8 < MinSeedLength,
            i.e. a miss with the same +1 advance the reference takes.
   Triples: interval steps consume THREE bases per rank query through the
@@ -59,13 +59,16 @@ POISON_NONE = 0x7FFFFFFF
 
 @jax.jit
 def _build_poslut(dfm: DeviceFMIndex, qcodes: jnp.ndarray) -> jnp.ndarray:
-    """Per-position scan metadata, ONE u64 per query position:
+    """Per-position scan metadata, ONE u32 per query position:
 
-        bits  0..23  cls12  12-mer class of bases (p .. p+11); the low
-                            16 bits are cls8 of (p .. p+7)
-        bits 24..29  cls3   triple class of (p, p+1, p+2)
-        bits 30..35  flags  real3 | (b1_real << 1) | (cls1 << 2)
-                            | (real8 << 4) | (real12 << 5)
+        bits  0..23  cls12  12-mer class of bases (p .. p+11); the lower
+                            slices are the shorter classes of the SAME
+                            position (cls8 = cls12 & 0xFFFF,
+                            cls3 = cls12 & 63, cls1 = cls12 & 3 — each
+                            k-mer class is (3 - base) in ascending 2-bit
+                            fields, so prefixes nest)
+        bits 24..27  flags  real3 | (b1_real << 1) | (real8 << 2)
+                            | (real12 << 3)
 
     The interval pairs these classes map to live in the tiny combined
     pair table (rank.DeviceFMIndex.comb_pairs) gathered per iteration —
@@ -75,34 +78,28 @@ def _build_poslut(dfm: DeviceFMIndex, qcodes: jnp.ndarray) -> jnp.ndarray:
     scale. Every intermediate here is likewise 1-D.
     """
     i32 = jnp.int32
-    u64 = jnp.uint64
+    u32 = jnp.uint32
     q = qcodes.astype(i32)
-    four = jnp.full(1, 4, i32)
     b1 = q
-    b2 = jnp.concatenate([q[1:], four])
-    b3 = jnp.concatenate([q[2:], four, four])
-    b1c = jnp.clip(b1, 0, 3)
-    cls1 = 3 - b1c
-    cls3 = (3 - jnp.clip(b3, 0, 3)) * 16 + (3 - jnp.clip(b2, 0, 3)) * 4         + (3 - b1c)
-    real3 = (b1 <= 3) & (b2 <= 3) & (b3 <= 3)
     # 12-mer class of the RC of bases (p..p+11): first RC char = comp of
     # the LAST base in the HIGH bits (fmindex._build_c8/_build_c12
-    # convention; cls8 is the low 16 bits)
+    # convention)
     cls12 = jnp.zeros(q.shape[0], i32)
+    real3 = b1 <= 3
     real8 = b1 <= 3
     real12 = b1 <= 3
     for o in range(12):                      # b_{o+1} = q[p+o], weight 4^o
         bo = b1 if o == 0 else jnp.concatenate(
             [q[o:], jnp.full(o, 4, i32)])
+        if o < 3:
+            real3 = real3 & (bo <= 3)
         if o < 8:
             real8 = real8 & (bo <= 3)
         real12 = real12 & (bo <= 3)
         cls12 = cls12 + ((3 - jnp.clip(bo, 0, 3)) << (2 * o))
     flags = (real3.astype(i32) | ((b1 <= 3).astype(i32) << 1)
-             | (cls1 << 2) | (real8.astype(i32) << 4)
-             | (real12.astype(i32) << 5))
-    return (cls12.astype(u64) | (cls3.astype(u64) << 24)
-            | (flags.astype(u64) << 30))
+             | (real8.astype(i32) << 2) | (real12.astype(i32) << 3))
+    return cls12.astype(u32) | (flags.astype(u32) << 24)
 
 
 @jax.jit
@@ -236,76 +233,83 @@ def _seed_scan(dfm: DeviceFMIndex,
         iv_ext = in_ext & ~in_dir
 
         # one shared metadata gather: INIT lanes look at `cursor`, EXT at
-        # `ext_pos`; the class fields then key ONE concatenated-index
-        # gather into the tiny combined pair table (position-keyed tables
-        # must be 1-D: a [Lpad, k] layout tile-pads k -> 128 minor lanes,
-        # 51 GB at 100 Mb query scale)
+        # `ext_pos`; the class fields then key ONE gather into the tiny
+        # combined pair table with TWO selected indices per lane — a lane
+        # is in exactly one of {INIT-12/8/3/1, EXT-triple, EXT-single,
+        # DIRECT}, so it needs only ITS class's (lo, sz) pair (fetching
+        # every class's pair was 8 rows/lane; gather cost is per ROW).
+        # Position-keyed tables must be 1-D: a [Lpad, k] layout tile-pads
+        # k -> 128 minor lanes, 51 GB at 100 Mb query scale.
         look = jnp.where(in_ext, ext_pos, cursor)
-        meta = poslut[jnp.clip(look, 0, Lpad - 1)]           # [B] u64
-        u64 = jnp.uint64
-        cls12 = (meta & u64(0xFFFFFF)).astype(i32)
+        meta = poslut[jnp.clip(look, 0, Lpad - 1)]           # [B] u32
+        cls12 = (meta & u32(0xFFFFFF)).astype(i32)
         cls8 = cls12 & 0xFFFF
-        cls3 = ((meta >> u64(24)) & u64(63)).astype(i32)
-        flags = ((meta >> u64(30)) & u64(63)).astype(i32)
+        cls3 = cls12 & 63       # k-mer class prefixes nest (_build_poslut)
+        cls1 = cls12 & 3
+        flags = (meta >> u32(24)).astype(i32)
         real3 = (flags & 1) > 0
         b1ok = (flags & 2) > 0
-        cls1 = (flags >> 2) & 3
-        real8 = (flags & 16) > 0
-        real12 = (flags & 32) > 0
-        b1c = 3 - cls1
+        real8 = (flags & 4) > 0
+        real12 = (flags & 8) > 0
         half = i32(65536 + 136)
         n12 = i32(4 ** 12)
-        segs = [cls8, 65536 + cls3, 65536 + 64 + b1c,
-                half + cls8, half + 65536 + cls3,
-                half + 65536 + 64 + b1c,
-                rank_ops.C12_OFF + cls12, rank_ops.C12_OFF + n12 + cls12]
-        if direct:
-            # the direct path's SA lookup rides the same gather kernel
-            segs.append(rank_ops.SA_OFF
-                        + jnp.clip(ik1, 0, n_sa - 1).astype(i32))
-        vals = dfm.comb_pairs[jnp.concatenate(segs)]
-        i8_lo, i3_lo, lo1 = vals[:B], vals[B:2 * B], vals[2 * B:3 * B]
-        i8_sz, i3_sz, sz1 = (vals[3 * B:4 * B], vals[4 * B:5 * B],
-                             vals[5 * B:6 * B])
-        i12_lo, i12_sz = vals[6 * B:7 * B], vals[7 * B:8 * B]
 
-        # ---- INIT step ----
+        # ---- INIT class choice ----
         init_amb = ~b1ok
         # INIT-12/INIT-8: jump 12 (8) bases via the c12 (c8) table; a dead
         # k-mer can only be a miss (len < k < min_seed), advancing the
         # cursor by one — exactly the single-step outcome. INIT-3 likewise
         # via the C64 range.
         if use12:
-            init_can12 = in_init & b1ok & real12 & (cursor + 11 < ext_stops)
+            init_can12 = b1ok & real12 & (cursor + 11 < ext_stops)
         else:
             init_can12 = jnp.zeros(B, jnp.bool_)
         if use8:
-            init_can8 = in_init & b1ok & real8 & (cursor + 7 < ext_stops) \
+            init_can8 = b1ok & real8 & (cursor + 7 < ext_stops) \
                 & ~init_can12
         else:
             init_can8 = jnp.zeros(B, jnp.bool_)
-        init_can3 = in_init & b1ok & real3 & (cursor + 2 < ext_stops) \
+        init_can3 = b1ok & real3 & (cursor + 2 < ext_stops) \
             & ~init_can8 & ~init_can12
 
-        # ---- EXT step: triple (3 bases) when possible, else single ----
+        # ---- EXT class choice: triple (3 bases) when possible, else 1 ----
         can3 = iv_ext & (ext_pos + 2 < ext_stops) & real3 & ~tri_failed
         cls = jnp.where(can3, cls3, cls1)
 
-        init12_dead = init_can12 & (i12_sz == 0)
-        init8_dead = init_can8 & (i8_sz == 0)
-        init3_dead = init_can3 & (i3_sz == 0)
-        start_ext12 = init_can12 & ~init12_dead
-        start_ext8 = init_can8 & ~init8_dead
-        start_ext3 = init_can3 & ~init3_dead
-        start_ext1 = in_init & b1ok & ~init_can12 & ~init_can8 & ~init_can3
+        # pair-table row selection (lo index; the sz row is lo + half for
+        # the c8/lut planes and lo + n12 for the c12 plane)
+        i3_lo_idx = 65536 + cls3
+        i1_lo_idx = 65536 + 64 + (3 - cls1)
+        init_lo_idx = jnp.where(
+            init_can12, rank_ops.C12_OFF + cls12,
+            jnp.where(init_can8, cls8,
+                      jnp.where(init_can3, i3_lo_idx, i1_lo_idx)))
+        init_sz_idx = jnp.where(init_can12, n12, half) + init_lo_idx
+        ext_lo_idx = jnp.where(can3, i3_lo_idx, i1_lo_idx)
+        idx_a = jnp.where(in_init, init_lo_idx, ext_lo_idx)
+        idx_b = jnp.where(in_init, init_sz_idx, idx_a)
+        if direct:
+            # the direct path's SA lookup rides the same gather kernel
+            sa_idx = rank_ops.SA_OFF + jnp.clip(ik1, 0, n_sa - 1).astype(i32)
+            idx_a = jnp.where(in_dir, sa_idx, idx_a)
+        vals = dfm.comb_pairs[jnp.concatenate([idx_a, idx_b])]
+        sel_a, sel_b = vals[:B], vals[B:]
+
+        # ---- INIT step ----
+        init_dead = in_init & (init_can12 | init_can8 | init_can3) \
+            & (sel_b == 0)
+        start_ext = in_init & b1ok & ~init_dead
+        init_jump = jnp.where(init_can12, i32(12),
+                              jnp.where(init_can8, i32(8),
+                                        jnp.where(init_can3, i32(3),
+                                                  i32(1))))
 
         cnt = rank_ops.occ_t3(
             dfm, jnp.concatenate([ik1, ik1 + ik2]),
             jnp.concatenate([can3, can3]),
             jnp.concatenate([cls, cls]))
         tk, tl = cnt[:B], cnt[B:]
-        base = jnp.where(can3, i3_lo, lo1)
-        e_ik1 = base + tk
+        e_ik1 = sel_a + tk
         e_ik2 = tl - tk
 
         # interval-path termination (only reachable when can3 is False)
@@ -319,7 +323,7 @@ def _seed_scan(dfm: DeviceFMIndex,
         # ---- DIRECT step: unique-interval lanes compare text to query ----
         if direct:
             sl = i32(seq_len)
-            rc_pos = vals[8 * B:].astype(i32)                 # [B] SA lookup
+            rc_pos = sel_a.astype(i32)        # [B] SA lookup (direct lanes)
             dir_off = jnp.where(in_dir & ~s["dir_set"],
                                 sl - rc_pos - ext_pos, s["dir_off"])
             p = dir_off + ext_pos                 # text pos of next compare
@@ -404,42 +408,25 @@ def _seed_scan(dfm: DeviceFMIndex,
         out_n = s["out_n"] + do_emit.astype(i32)
 
         # ---- state updates ----
-        start_ext = start_ext12 | start_ext8 | start_ext3 | start_ext1
         step = jnp.where(can3, 3, 1)
         new_phase = jnp.where(start_ext, PHASE_EXT,
                               jnp.where(finalize, PHASE_INIT, phase))
         new_cursor = jnp.where(
             poisoned_now, emit_stops,
-            jnp.where(in_init & (init_amb | init3_dead | init8_dead
-                                 | init12_dead),
+            jnp.where((in_init & init_amb) | init_dead,
                       cursor + 1,
                       jnp.where(finalize, advance, cursor)))
         new_poison = jnp.where(poisoned_now & (poison == POISON_NONE),
                                ext_start, poison)
         new_ext_start = jnp.where(start_ext, cursor, ext_start)
         new_ext_pos = jnp.where(
-            start_ext12, cursor + 12,
-            jnp.where(start_ext8, cursor + 8,
-                      jnp.where(start_ext3, cursor + 3,
-                                jnp.where(start_ext1, cursor + 1,
-                                          jnp.where(ext_ok, ext_pos + step,
-                                                    jnp.where(dir_adv,
-                                                              dir_ext_pos,
-                                                              ext_pos))))))
-        new_ik1 = jnp.where(start_ext12, i12_lo,
-                            jnp.where(start_ext8, i8_lo,
-                                      jnp.where(start_ext3, i3_lo,
-                                                jnp.where(start_ext1, lo1,
-                                                          jnp.where(ext_ok,
-                                                                    e_ik1,
-                                                                    ik1)))))
-        new_ik2 = jnp.where(start_ext12, i12_sz,
-                            jnp.where(start_ext8, i8_sz,
-                                      jnp.where(start_ext3, i3_sz,
-                                                jnp.where(start_ext1, sz1,
-                                                          jnp.where(ext_ok,
-                                                                    e_ik2,
-                                                                    ik2)))))
+            start_ext, cursor + init_jump,
+            jnp.where(ext_ok, ext_pos + step,
+                      jnp.where(dir_adv, dir_ext_pos, ext_pos)))
+        new_ik1 = jnp.where(start_ext, sel_a,
+                            jnp.where(ext_ok, e_ik1, ik1))
+        new_ik2 = jnp.where(start_ext, sel_b,
+                            jnp.where(ext_ok, e_ik2, ik2))
         new_tf = jnp.where(start_ext | finalize, False,
                            jnp.where(tri_miss, True,
                                      jnp.where(ext_ok, False, tri_failed)))
