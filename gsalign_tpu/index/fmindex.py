@@ -251,6 +251,19 @@ def _build_c12(text: np.ndarray, n: int,
     return out
 
 
+def c12_step_keys(c12: np.ndarray) -> np.ndarray:
+    """Recover the short-suffix +1 step positions lb from a c12 table:
+    starts = exclusive-cumsum(counts) + sum over steps of 1[lb <= g]
+    (see _build_c12). The diff against the bare cumsum is a nondecreasing
+    staircase with <= 12 unit steps; returns the lb of each step."""
+    counts = c12[:, 1]
+    base = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    diff = c12[:, 0] - base
+    n_steps = int(diff[-1]) if diff.size else 0
+    return np.searchsorted(diff, np.arange(1, n_steps + 1),
+                           side="left").astype(np.int64)
+
+
 def _build_t3_index(sa_full: np.ndarray, g_ctx: np.ndarray, t3: np.ndarray,
                     text: np.ndarray, n: int, cp_dtype=np.int32,
                     threads: Optional[int] = None):

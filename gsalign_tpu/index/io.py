@@ -36,12 +36,9 @@ def save_index(fm: FMIndex, prefix: str) -> None:
     # size; its starts column is cumsum(counts) plus <= 13 short-suffix +1
     # steps (fmindex._build_c12), so persist only the counts (uint32 unless
     # a single 12-mer exceeds 2^32 occurrences) and the step positions.
+    from gsalign_tpu.index.fmindex import c12_step_keys
     counts = fm.c12[:, 1]
-    base = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    diff = fm.c12[:, 0] - base          # nondecreasing, 0 .. n_steps
-    n_steps = int(diff[-1]) if diff.size else 0
-    c12_steps = np.searchsorted(diff, np.arange(1, n_steps + 1),
-                                side="left").astype(np.int64)
+    c12_steps = c12_step_keys(fm.c12)
     cdt = (np.int64 if counts.size and int(counts.max()) >= 2 ** 32
            else np.uint32)
     nz = np.nonzero(counts)[0]

@@ -152,11 +152,21 @@ def _extract256(rows: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray:
     return hi | lo                                           # [B, 16]
 
 
+@jax.jit
+def _build_tqrows(dfm: DeviceFMIndex, q_rows: jnp.ndarray) -> jnp.ndarray:
+    """Stack the index's 512-base text windows (padded 32 -> 64 words) over
+    the query windows so the direct-extension comparator fetches both with
+    ONE row gather per iteration (row q of the query plane lives at
+    n_trow + q)."""
+    return jnp.concatenate(
+        [jnp.pad(dfm.text_rows, ((0, 0), (0, 32))), q_rows], axis=0)
+
+
 @partial(jax.jit, static_argnames=("min_seed_length", "max_seed_freq",
                                    "sensitive", "max_out"))
 def _seed_scan(dfm: DeviceFMIndex,
                poslut: jnp.ndarray,      # uint32 [Lpad] (_build_poslut)
-               q_rows: jnp.ndarray,      # uint32 flat (_build_qrows)
+               tq_rows: jnp.ndarray,     # uint32 [n_trow + n_qrow, 64]
                starts: jnp.ndarray,      # int32 [B]
                emit_stops: jnp.ndarray,  # int32 [B] stop recording starts here
                ext_stops: jnp.ndarray,   # int32 [B] extension clip (may be
@@ -179,7 +189,7 @@ def _seed_scan(dfm: DeviceFMIndex,
     Lpad = poslut.shape[0]
     n_sa = dfm.seq_len + 1 if direct else dfm.sa_samples.shape[0]
     n_trow = dfm.text_rows.shape[0]
-    n_qrow = q_rows.shape[0]
+    n_qrow = tq_rows.shape[0] - n_trow
     seq_len = dfm.seq_len
 
     init_state = dict(
@@ -252,7 +262,6 @@ def _seed_scan(dfm: DeviceFMIndex,
         real8 = (flags & 4) > 0
         real12 = (flags & 8) > 0
         half = i32(65536 + 136)
-        n12 = i32(4 ** 12)
 
         # ---- INIT class choice ----
         init_amb = ~b1ok
@@ -277,14 +286,15 @@ def _seed_scan(dfm: DeviceFMIndex,
         cls = jnp.where(can3, cls3, cls1)
 
         # pair-table row selection (lo index; the sz row is lo + half for
-        # the c8/lut planes and lo + n12 for the c12 plane)
+        # the c8/lut planes; the c12 plane stores only STARTS, so sz is
+        # starts[g+1] - starts[g] minus the <= 12 c12_corr step keys)
         i3_lo_idx = 65536 + cls3
         i1_lo_idx = 65536 + 64 + (3 - cls1)
         init_lo_idx = jnp.where(
             init_can12, rank_ops.C12_OFF + cls12,
             jnp.where(init_can8, cls8,
                       jnp.where(init_can3, i3_lo_idx, i1_lo_idx)))
-        init_sz_idx = jnp.where(init_can12, n12, half) + init_lo_idx
+        init_sz_idx = jnp.where(init_can12, i32(1), half) + init_lo_idx
         ext_lo_idx = jnp.where(can3, i3_lo_idx, i1_lo_idx)
         idx_a = jnp.where(in_init, init_lo_idx, ext_lo_idx)
         idx_b = jnp.where(in_init, init_sz_idx, idx_a)
@@ -294,10 +304,15 @@ def _seed_scan(dfm: DeviceFMIndex,
             idx_a = jnp.where(in_dir, sa_idx, idx_a)
         vals = dfm.comb_pairs[jnp.concatenate([idx_a, idx_b])]
         sel_a, sel_b = vals[:B], vals[B:]
+        corr12 = jnp.sum(cls12[:, None] == dfm.c12_corr[None, :],
+                         axis=1, dtype=i32)
+        init_sz = jnp.where(init_can12,
+                            sel_b - sel_a - corr12.astype(sel_b.dtype),
+                            sel_b)
 
         # ---- INIT step ----
         init_dead = in_init & (init_can12 | init_can8 | init_can3) \
-            & (sel_b == 0)
+            & (init_sz == 0)
         start_ext = in_init & b1ok & ~init_dead
         init_jump = jnp.where(init_can12, i32(12),
                               jnp.where(init_can8, i32(8),
@@ -330,8 +345,13 @@ def _seed_scan(dfm: DeviceFMIndex,
             q = ext_pos
             p_safe = jnp.clip(p, 0, seq_len - 1)
             q_safe = jnp.clip(q, 0, n_qrow * 256 - 1)
-            trow = dfm.text_rows[p_safe >> 8]                 # [B, 32]
-            qrow = q_rows[q_safe >> 8]                        # [B, 64]
+            # text + query windows ride ONE row gather (tq_rows = padded
+            # text rows stacked over query rows; gather cost is per call
+            # + per row, so 2B rows in one call beat B+B in two)
+            rows2 = tq_rows[jnp.concatenate(
+                [p_safe >> 8, n_trow + (q_safe >> 8)])]       # [2B, 64]
+            trow = rows2[:B, :32]
+            qrow = rows2[B:]                                  # [B, 64]
             tw = _extract256(trow, p_safe & 255)
             qw = _extract256(qrow[:, :32], q_safe & 255)
             aw = _extract256(qrow[:, 32:], q_safe & 255)
@@ -425,7 +445,7 @@ def _seed_scan(dfm: DeviceFMIndex,
                       jnp.where(dir_adv, dir_ext_pos, ext_pos)))
         new_ik1 = jnp.where(start_ext, sel_a,
                             jnp.where(ext_ok, e_ik1, ik1))
-        new_ik2 = jnp.where(start_ext, sel_b,
+        new_ik2 = jnp.where(start_ext, init_sz,
                             jnp.where(ext_ok, e_ik2, ik2))
         new_tf = jnp.where(start_ext | finalize, False,
                            jnp.where(tri_miss, True,
@@ -483,7 +503,7 @@ MAX_LANES_PER_CALL = 4096   # keep single device calls well under the remote
                             # execution deadline and bound buffer memory
 
 
-def _run_scan(dfm, qc_dev, q_rows, starts, emit_stops, ext_stops, hard_stops,
+def _run_scan(dfm, qc_dev, tq_rows, starts, emit_stops, ext_stops, hard_stops,
               min_seed_length, max_seed_freq, sensitive, max_out, mesh=None):
     """Launch the scan kernel with power-of-two lane padding (stable compiled
     shapes) and minimal device->host transfer (buffers trimmed to the widest
@@ -497,7 +517,7 @@ def _run_scan(dfm, qc_dev, q_rows, starts, emit_stops, ext_stops, hard_stops,
         for s in range(0, B, MAX_LANES_PER_CALL):
             e = min(s + MAX_LANES_PER_CALL, B)
             pending.append((e - s, starts[s:e], _launch_scan(
-                dfm, qc_dev, q_rows, starts[s:e], emit_stops[s:e],
+                dfm, qc_dev, tq_rows, starts[s:e], emit_stops[s:e],
                 ext_stops[s:e], hard_stops[s:e],
                 min_seed_length, max_seed_freq, sensitive, max_out,
                 mesh=mesh)))
@@ -520,12 +540,12 @@ def _run_scan(dfm, qc_dev, q_rows, starts, emit_stops, ext_stops, hard_stops,
                 np.concatenate([o[5] for o in outs]),
                 np.concatenate([o[6] for o in outs]))
     return _fetch_scan(B, _launch_scan(
-        dfm, qc_dev, q_rows, starts, emit_stops, ext_stops, hard_stops,
+        dfm, qc_dev, tq_rows, starts, emit_stops, ext_stops, hard_stops,
         min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh),
         max_out, starts)
 
 
-def _launch_scan(dfm, qc_dev, q_rows, starts, emit_stops, ext_stops,
+def _launch_scan(dfm, qc_dev, tq_rows, starts, emit_stops, ext_stops,
                  hard_stops, min_seed_length, max_seed_freq, sensitive,
                  max_out, mesh=None):
     """Dispatch one scan slab (async); returns the raw device arrays."""
@@ -553,7 +573,7 @@ def _launch_scan(dfm, qc_dev, q_rows, starts, emit_stops, ext_stops,
         st, em, ex, hd = (jnp.asarray(st), jnp.asarray(em), jnp.asarray(ex),
                           jnp.asarray(hd))
     return _seed_scan(
-        dfm, qc_dev, q_rows, st, em, ex, hd,
+        dfm, qc_dev, tq_rows, st, em, ex, hd,
         min_seed_length=min_seed_length, max_seed_freq=max_seed_freq,
         sensitive=sensitive, max_out=max_out)
 
@@ -631,12 +651,14 @@ def find_seeds_all(dfm: DeviceFMIndex,
     # the C64/L2 entries into a single gatherable row for the scan loop
     qc_jnp = jnp.asarray(qc)
     qc_dev = _build_poslut(dfm, qc_jnp)
-    q_rows = (_build_qrows(qc_jnp) if dfm.direct_ok
-              else jnp.zeros((1, 64), jnp.uint32))
+    # merged text+query row table (shape [n_trow + n_qrow, 64]); the dummy
+    # keeps n_qrow = 1 when direct mode is off (text_rows is then [1, 1])
+    tq_rows = (_build_tqrows(dfm, _build_qrows(qc_jnp)) if dfm.direct_ok
+               else jnp.zeros((2, 64), jnp.uint32))
     if mesh is not None:
         from gsalign_tpu.parallel import mesh as mesh_lib
         qc_dev = jax.device_put(qc_dev, mesh_lib.replicated(mesh))
-        q_rows = jax.device_put(q_rows, mesh_lib.replicated(mesh))
+        tq_rows = jax.device_put(tq_rows, mesh_lib.replicated(mesh))
 
     seg_len = max(1, chunk // max(1, n_segments))
     stride = 5 if sensitive else None
@@ -666,7 +688,7 @@ def find_seeds_all(dfm: DeviceFMIndex,
             k += 1
     lanes = {}
     qs, ls, k0, fr, n, exits, poi = _run_scan(
-        dfm, qc_dev, q_rows, np.asarray(lane_starts, np.int32),
+        dfm, qc_dev, tq_rows, np.asarray(lane_starts, np.int32),
         np.asarray(lane_emit, np.int32), np.asarray(lane_ext, np.int32),
         np.asarray(lane_hard, np.int32),
         min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh)
@@ -731,7 +753,7 @@ def find_seeds_all(dfm: DeviceFMIndex,
         f_ext = np.asarray([f[4] for f in fixups], np.int32)
         # fixup lanes run with the REAL chunk-end clip: never poisoned
         qs, ls, k0, fr, n, exits, poi = _run_scan(
-            dfm, qc_dev, q_rows, f_starts, f_emit, f_ext, f_ext,
+            dfm, qc_dev, tq_rows, f_starts, f_emit, f_ext, f_ext,
             min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh)
         for i, (ci, k, e, _, _) in enumerate(fixups):
             m = n[i]
