@@ -58,51 +58,6 @@ POISON_NONE = 0x7FFFFFFF
 
 
 @jax.jit
-def _build_poslut(dfm: DeviceFMIndex, qcodes: jnp.ndarray) -> jnp.ndarray:
-    """Per-position scan metadata, ONE u32 per query position:
-
-        bits  0..23  cls12  12-mer class of bases (p .. p+11); the lower
-                            slices are the shorter classes of the SAME
-                            position (cls8 = cls12 & 0xFFFF,
-                            cls3 = cls12 & 63, cls1 = cls12 & 3 — each
-                            k-mer class is (3 - base) in ascending 2-bit
-                            fields, so prefixes nest)
-        bits 24..27  flags  real3 | (b1_real << 1) | (real8 << 2)
-                            | (real12 << 3)
-
-    The interval pairs these classes map to live in the tiny combined
-    pair table (rank.DeviceFMIndex.comb_pairs) gathered per iteration —
-    tables keyed by position MUST stay 1-D: any [L, k] table gets
-    TPU-tiled with the minor dim padded k -> 128, e.g. a [100M, 8] row
-    layout is a 51 GB allocation (16x blowup) that OOMs at 100 Mb query
-    scale. Every intermediate here is likewise 1-D.
-    """
-    i32 = jnp.int32
-    u32 = jnp.uint32
-    q = qcodes.astype(i32)
-    b1 = q
-    # 12-mer class of the RC of bases (p..p+11): first RC char = comp of
-    # the LAST base in the HIGH bits (fmindex._build_c8/_build_c12
-    # convention)
-    cls12 = jnp.zeros(q.shape[0], i32)
-    real3 = b1 <= 3
-    real8 = b1 <= 3
-    real12 = b1 <= 3
-    for o in range(12):                      # b_{o+1} = q[p+o], weight 4^o
-        bo = b1 if o == 0 else jnp.concatenate(
-            [q[o:], jnp.full(o, 4, i32)])
-        if o < 3:
-            real3 = real3 & (bo <= 3)
-        if o < 8:
-            real8 = real8 & (bo <= 3)
-        real12 = real12 & (bo <= 3)
-        cls12 = cls12 + ((3 - jnp.clip(bo, 0, 3)) << (2 * o))
-    flags = (real3.astype(i32) | ((b1 <= 3).astype(i32) << 1)
-             | (real8.astype(i32) << 2) | (real12.astype(i32) << 3))
-    return cls12.astype(u32) | (flags.astype(u32) << 24)
-
-
-@jax.jit
 def _build_qrows(qcodes: jnp.ndarray) -> jnp.ndarray:
     """Overlapping 512-base query windows at stride 256 for the direct-
     extension comparator: row r = [32 packed 2-bit code words | 32 words of
@@ -152,21 +107,50 @@ def _extract256(rows: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray:
     return hi | lo                                           # [B, 16]
 
 
-@jax.jit
-def _build_tqrows(dfm: DeviceFMIndex, q_rows: jnp.ndarray) -> jnp.ndarray:
-    """Stack the index's 512-base text windows (padded 32 -> 64 words) over
-    the query windows so the direct-extension comparator fetches both with
-    ONE row gather per iteration (row q of the query plane lives at
-    n_trow + q)."""
-    return jnp.concatenate(
-        [jnp.pad(dfm.text_rows, ((0, 0), (0, 32))), q_rows], axis=0)
+def _meta16(qrow: jnp.ndarray, off: jnp.ndarray):
+    """Decode scan metadata for the 16 bases starting at 2-bit-field offset
+    `off` (0..255) of [B, 64]-word query windows (pk plane | amb plane):
+    returns (cls12, real3, b1ok, real8, real12).
+
+    cls12 is the 12-mer class of bases (p .. p+11): (3 - base) in ASCENDING
+    2-bit fields (fmindex._build_c12 key of the RC 12-mer; the shorter
+    classes nest as cls8 = cls12 & 0xFFFF, cls3 = cls12 & 63, cls1 =
+    cls12 & 3). The packed window stores base j of the window at
+    DESCENDING bits (30-2j), so cls12 is a 2-bit-field reversal of the
+    complemented word — pure VPU, which is the point: the u32-per-position
+    poslut table this replaces was re-read in full by XLA on every scan
+    iteration (gather cost ~ table bytes/call), 400 MB per iteration at
+    100 Mb query scale."""
+    i32 = jnp.int32
+    u32 = jnp.uint32
+    ow = (off >> 4).astype(i32)                              # word offset
+    sh = ((off & 15) << 1).astype(u32)                       # bit shift
+    pk = _roll16(qrow[:, :32], ow)
+    am = _roll16(qrow[:, 32:], ow)
+    w = (pk[:, 0] << sh) | jnp.where(sh > 0,
+                                     pk[:, 1] >> (u32(32) - sh), u32(0))
+    a = (am[:, 0] << sh) | jnp.where(sh > 0,
+                                     am[:, 1] >> (u32(32) - sh), u32(0))
+    v = ~w                                   # 3 - base, per 2-bit field
+    r = ((v << u32(2)) & u32(0xCCCCCCCC)) | ((v >> u32(2))
+                                             & u32(0x33333333))
+    r = ((r << u32(4)) & u32(0xF0F0F0F0)) | ((r >> u32(4))
+                                             & u32(0x0F0F0F0F))
+    r = ((r << u32(8)) & u32(0xFF00FF00)) | ((r >> u32(8))
+                                             & u32(0x00FF00FF))
+    r = (r << u32(16)) | (r >> u32(16))
+    cls12 = (r & u32(0xFFFFFF)).astype(i32)
+    real12 = (a & u32(0xFFFFFF00)) == 0
+    real8 = (a & u32(0xFFFF0000)) == 0
+    real3 = (a & u32(0xFC000000)) == 0
+    b1ok = (a & u32(0xC0000000)) == 0
+    return cls12, real3, b1ok, real8, real12
 
 
 @partial(jax.jit, static_argnames=("min_seed_length", "max_seed_freq",
                                    "sensitive", "max_out"))
 def _seed_scan(dfm: DeviceFMIndex,
-               poslut: jnp.ndarray,      # uint32 [Lpad] (_build_poslut)
-               tq_rows: jnp.ndarray,     # uint32 [n_trow + n_qrow, 64]
+               q_rows: jnp.ndarray,      # uint32 [n_qrow, 64] (_build_qrows)
                starts: jnp.ndarray,      # int32 [B]
                emit_stops: jnp.ndarray,  # int32 [B] stop recording starts here
                ext_stops: jnp.ndarray,   # int32 [B] extension clip (may be
@@ -186,10 +170,9 @@ def _seed_scan(dfm: DeviceFMIndex,
     use8 = min_seed_length > 8
     use12 = min_seed_length > 12
     direct = dfm.direct_ok
-    Lpad = poslut.shape[0]
     n_sa = dfm.seq_len + 1 if direct else dfm.sa_samples.shape[0]
     n_trow = dfm.text_rows.shape[0]
-    n_qrow = tq_rows.shape[0] - n_trow
+    n_qrow = q_rows.shape[0]
     seq_len = dfm.seq_len
 
     init_state = dict(
@@ -242,25 +225,23 @@ def _seed_scan(dfm: DeviceFMIndex,
             in_dir = jnp.zeros(B, jnp.bool_)
         iv_ext = in_ext & ~in_dir
 
-        # one shared metadata gather: INIT lanes look at `cursor`, EXT at
-        # `ext_pos`; the class fields then key ONE gather into the tiny
-        # combined pair table with TWO selected indices per lane — a lane
-        # is in exactly one of {INIT-12/8/3/1, EXT-triple, EXT-single,
-        # DIRECT}, so it needs only ITS class's (lo, sz) pair (fetching
-        # every class's pair was 8 rows/lane; gather cost is per ROW).
-        # Position-keyed tables must be 1-D: a [Lpad, k] layout tile-pads
-        # k -> 128 minor lanes, 51 GB at 100 Mb query scale.
+        # one shared metadata fetch: INIT lanes look at `cursor`, EXT at
+        # `ext_pos`. The lane's packed query window row is gathered and
+        # the 12-mer class decoded on the VPU (_meta16) — the direct-
+        # extension comparator's query window rides the SAME gather call.
+        # The class fields then key ONE gather into the combined pair
+        # table with TWO selected indices per lane — a lane is in exactly
+        # one of {INIT-12/8/3/1, EXT-triple, EXT-single, DIRECT}, so it
+        # needs only ITS class's (lo, sz) pair.
         look = jnp.where(in_ext, ext_pos, cursor)
-        meta = poslut[jnp.clip(look, 0, Lpad - 1)]           # [B] u32
-        cls12 = (meta & u32(0xFFFFFF)).astype(i32)
+        look_safe = jnp.clip(look, 0, n_qrow * 256 - 1)
+        q_cmp = jnp.clip(ext_pos, 0, n_qrow * 256 - 1)   # direct compare pos
+        qrows2 = q_rows[jnp.concatenate([look_safe >> 8, q_cmp >> 8])]
+        cls12, real3, b1ok, real8, real12 = _meta16(qrows2[:B],
+                                                    look_safe & 255)
         cls8 = cls12 & 0xFFFF
-        cls3 = cls12 & 63       # k-mer class prefixes nest (_build_poslut)
+        cls3 = cls12 & 63       # k-mer class prefixes nest (_meta16)
         cls1 = cls12 & 3
-        flags = (meta >> u32(24)).astype(i32)
-        real3 = (flags & 1) > 0
-        b1ok = (flags & 2) > 0
-        real8 = (flags & 4) > 0
-        real12 = (flags & 8) > 0
         half = i32(65536 + 136)
 
         # ---- INIT class choice ----
@@ -344,14 +325,9 @@ def _seed_scan(dfm: DeviceFMIndex,
             p = dir_off + ext_pos                 # text pos of next compare
             q = ext_pos
             p_safe = jnp.clip(p, 0, seq_len - 1)
-            q_safe = jnp.clip(q, 0, n_qrow * 256 - 1)
-            # text + query windows ride ONE row gather (tq_rows = padded
-            # text rows stacked over query rows; gather cost is per call
-            # + per row, so 2B rows in one call beat B+B in two)
-            rows2 = tq_rows[jnp.concatenate(
-                [p_safe >> 8, n_trow + (q_safe >> 8)])]       # [2B, 64]
-            trow = rows2[:B, :32]
-            qrow = rows2[B:]                                  # [B, 64]
+            q_safe = q_cmp
+            trow = dfm.text_rows[p_safe >> 8]                 # [B, 32]
+            qrow = qrows2[B:]      # [B, 64] — rode the metadata gather
             tw = _extract256(trow, p_safe & 255)
             qw = _extract256(qrow[:, :32], q_safe & 255)
             aw = _extract256(qrow[:, 32:], q_safe & 255)
@@ -503,7 +479,7 @@ MAX_LANES_PER_CALL = 4096   # keep single device calls well under the remote
                             # execution deadline and bound buffer memory
 
 
-def _run_scan(dfm, qc_dev, tq_rows, starts, emit_stops, ext_stops, hard_stops,
+def _run_scan(dfm, q_rows, starts, emit_stops, ext_stops, hard_stops,
               min_seed_length, max_seed_freq, sensitive, max_out, mesh=None):
     """Launch the scan kernel with power-of-two lane padding (stable compiled
     shapes) and minimal device->host transfer (buffers trimmed to the widest
@@ -517,7 +493,7 @@ def _run_scan(dfm, qc_dev, tq_rows, starts, emit_stops, ext_stops, hard_stops,
         for s in range(0, B, MAX_LANES_PER_CALL):
             e = min(s + MAX_LANES_PER_CALL, B)
             pending.append((e - s, starts[s:e], _launch_scan(
-                dfm, qc_dev, tq_rows, starts[s:e], emit_stops[s:e],
+                dfm, q_rows, starts[s:e], emit_stops[s:e],
                 ext_stops[s:e], hard_stops[s:e],
                 min_seed_length, max_seed_freq, sensitive, max_out,
                 mesh=mesh)))
@@ -540,12 +516,12 @@ def _run_scan(dfm, qc_dev, tq_rows, starts, emit_stops, ext_stops, hard_stops,
                 np.concatenate([o[5] for o in outs]),
                 np.concatenate([o[6] for o in outs]))
     return _fetch_scan(B, _launch_scan(
-        dfm, qc_dev, tq_rows, starts, emit_stops, ext_stops, hard_stops,
+        dfm, q_rows, starts, emit_stops, ext_stops, hard_stops,
         min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh),
         max_out, starts)
 
 
-def _launch_scan(dfm, qc_dev, tq_rows, starts, emit_stops, ext_stops,
+def _launch_scan(dfm, q_rows, starts, emit_stops, ext_stops,
                  hard_stops, min_seed_length, max_seed_freq, sensitive,
                  max_out, mesh=None):
     """Dispatch one scan slab (async); returns the raw device arrays."""
@@ -573,7 +549,7 @@ def _launch_scan(dfm, qc_dev, tq_rows, starts, emit_stops, ext_stops,
         st, em, ex, hd = (jnp.asarray(st), jnp.asarray(em), jnp.asarray(ex),
                           jnp.asarray(hd))
     return _seed_scan(
-        dfm, qc_dev, tq_rows, st, em, ex, hd,
+        dfm, q_rows, st, em, ex, hd,
         min_seed_length=min_seed_length, max_seed_freq=max_seed_freq,
         sensitive=sensitive, max_out=max_out)
 
@@ -647,18 +623,12 @@ def find_seeds_all(dfm: DeviceFMIndex,
     qc = np.full(total, 4, dtype=np.uint8)
     for codes, o in zip(codes_list, offs):
         qc[o:o + len(codes)] = codes
-    # one device-side precompute fuses the per-position 3-gram decode and
-    # the C64/L2 entries into a single gatherable row for the scan loop
-    qc_jnp = jnp.asarray(qc)
-    qc_dev = _build_poslut(dfm, qc_jnp)
-    # merged text+query row table (shape [n_trow + n_qrow, 64]); the dummy
-    # keeps n_qrow = 1 when direct mode is off (text_rows is then [1, 1])
-    tq_rows = (_build_tqrows(dfm, _build_qrows(qc_jnp)) if dfm.direct_ok
-               else jnp.zeros((2, 64), jnp.uint32))
+    # the packed query windows serve BOTH the per-iteration metadata
+    # decode (_meta16) and the direct-extension comparator
+    q_rows = _build_qrows(jnp.asarray(qc))
     if mesh is not None:
         from gsalign_tpu.parallel import mesh as mesh_lib
-        qc_dev = jax.device_put(qc_dev, mesh_lib.replicated(mesh))
-        tq_rows = jax.device_put(tq_rows, mesh_lib.replicated(mesh))
+        q_rows = jax.device_put(q_rows, mesh_lib.replicated(mesh))
 
     seg_len = max(1, chunk // max(1, n_segments))
     stride = 5 if sensitive else None
@@ -688,7 +658,7 @@ def find_seeds_all(dfm: DeviceFMIndex,
             k += 1
     lanes = {}
     qs, ls, k0, fr, n, exits, poi = _run_scan(
-        dfm, qc_dev, tq_rows, np.asarray(lane_starts, np.int32),
+        dfm, q_rows, np.asarray(lane_starts, np.int32),
         np.asarray(lane_emit, np.int32), np.asarray(lane_ext, np.int32),
         np.asarray(lane_hard, np.int32),
         min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh)
@@ -753,7 +723,7 @@ def find_seeds_all(dfm: DeviceFMIndex,
         f_ext = np.asarray([f[4] for f in fixups], np.int32)
         # fixup lanes run with the REAL chunk-end clip: never poisoned
         qs, ls, k0, fr, n, exits, poi = _run_scan(
-            dfm, qc_dev, tq_rows, f_starts, f_emit, f_ext, f_ext,
+            dfm, q_rows, f_starts, f_emit, f_ext, f_ext,
             min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh)
         for i, (ci, k, e, _, _) in enumerate(fixups):
             m = n[i]
