@@ -31,7 +31,7 @@ SA_OFF = C12_OFF + 4 ** 12 + 1         # sa_samples (direct indexes only)
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["union", "t3", "l2",
+         data_fields=["union", "t3", "t3_major", "l2",
                       "sa_samples", "c64", "t3_exc_pos", "t3_exc_chr",
                       "comb_pairs", "c12_corr", "text_rows"],
          meta_fields=["seq_len", "primary", "sa_intv", "wide", "direct_ok"])
@@ -41,16 +41,18 @@ class DeviceFMIndex:
     # layout (src/BWT_Index/bwtindex.c:53-75):
     #  union: single-char blocks of 128 bases
     #        [cp0..cp3 | 8 packed words (2b/base) | 0...]
-    #  narrow order-3 layout (seq_len < 2^31): ONE fused 384 B row per
-    #    query, [64 triple-class checkpoints | 32 packed symbol words].
-    #    (A split 132 B/query layout was measured SLOWER on the v5e: XLA
-    #    gather cost is per-ROW, not per-byte, up to ~512 B rows — two
-    #    narrow gathers lose to one wide one.)
+    #  narrow order-3 layout (seq_len < 2^31): ONE fused 256 B row per
+    #    query, [32 words of u16-packed MINOR checkpoints (class j in word
+    #    j>>1, half j&1) | 32 packed symbol words], plus a small MAJOR
+    #    table every 256 rows (32768 bases, so minors fit u16). Every XLA
+    #    gather re-reads its whole table per call, so row bytes are the
+    #    t3 cost; the major table is ~n/128 bytes and sweeps for free.
     #  wide (seq_len >= 2^31, the reference's 64-bit bwtint_t regime,
     #  src/BWT_Index/bwt.h:36-40) widens the fused row: [cp-low0..63 |
     #  4 carry words (2 bits/class: cp bits 32-33) | 32 packed words].
     union: jnp.ndarray        # uint32 [n_rows, 16] (narrow only; [1,16] wide)
-    t3: jnp.ndarray           # uint32 [n3_rows, 96] narrow | [n3, 100] wide
+    t3: jnp.ndarray           # uint32 [n3_rows, 64] narrow | [n3, 100] wide
+    t3_major: jnp.ndarray     # int32 [ceil(n3/256), 64] narrow | [1, 64] wide
     l2: jnp.ndarray           # rdtype [5]
     sa_samples: jnp.ndarray   # rdtype [n_samples]
     c64: jnp.ndarray          # rdtype [65]
@@ -101,6 +103,7 @@ class DeviceFMIndex:
             return cached
         wide = fm.rank_dtype == np.int64
         n3 = fm.t3_cp.shape[0]
+        major3 = np.zeros((1, 64), dtype=np.int32)
         if wide:
             union = np.zeros((1, UNION_ROW), dtype=np.uint32)
             rows3 = np.empty((n3, T3_ROW_WIDE), dtype=np.uint32)
@@ -118,9 +121,11 @@ class DeviceFMIndex:
                 np.uint32).reshape(n1, 4)
             union[:, 4:12] = fm.bwt_packed.reshape(n1, WORDS_PER_BLOCK)
             cp3 = fm.t3_cp.astype(np.int32)                  # [n3, 64]
-            rows3 = np.empty((n3, 96), dtype=np.uint32)
-            rows3[:, :64] = cp3.view(np.uint32)
-            rows3[:, 64:] = fm.t3_packed.reshape(n3, 32)
+            major3 = np.ascontiguousarray(cp3[::256])        # [n3/256, 64]
+            minor = (cp3 - major3[np.arange(n3) >> 8]).astype(np.uint32)
+            rows3 = np.empty((n3, 64), dtype=np.uint32)
+            rows3[:, :32] = minor[:, 0::2] | (minor[:, 1::2] << 16)
+            rows3[:, 32:] = fm.t3_packed.reshape(n3, 32)
         lut = np.zeros((136, 2), dtype=np.int64)
         c64 = np.asarray(fm.c64, dtype=np.int64)
         l2 = np.asarray(fm.l2, dtype=np.int64)
@@ -168,6 +173,7 @@ class DeviceFMIndex:
         dfm = DeviceFMIndex(
             union=jnp.asarray(union),
             t3=jnp.asarray(rows3),
+            t3_major=jnp.asarray(major3),
             l2=jnp.asarray(fm.l2, dtype=rdt),
             sa_samples=jnp.asarray(sa_field, dtype=rdt),
             c64=jnp.asarray(fm.c64, dtype=rdt),
@@ -308,14 +314,21 @@ def occ_t3(dfm: DeviceFMIndex, k: jnp.ndarray,
         cp_sel = jnp.sum(jnp.where(want, cp, 0), axis=1, dtype=jnp.int64)
         words = row[:, 68:]                                  # [B, 32] uint32
     else:
-        # fused narrow rows: ONE 384 B gather per query
-        row = dfm.t3[k >> 7]                                 # [B, 96] uint32
+        # fused narrow rows: ONE 256 B gather per query (u16 minor cps) +
+        # one 256 B major-table row (the major table is tiny, so its
+        # whole-table re-read per gather call costs nothing)
+        row = dfm.t3[k >> 7]                                 # [B, 64] uint32
+        mrow = dfm.t3_major[k >> 15]                         # [B, 64] int32
         iota = jnp.arange(64, dtype=jnp.int32)[None, :]
         want = jnp.where(is_triple[:, None], iota == cls[:, None],
                          (iota & 3) == cls[:, None])
-        cp = row[:, :64].astype(jnp.int32)
+        packed = row[:, :32]
+        cp16 = jnp.stack([packed & jnp.uint32(0xFFFF),
+                          packed >> jnp.uint32(16)],
+                         axis=2).reshape(packed.shape[0], 64)
+        cp = mrow + cp16.astype(jnp.int32)
         cp_sel = jnp.sum(jnp.where(want, cp, 0), axis=1, dtype=jnp.int32)
-        words = row[:, 64:]
+        words = row[:, 32:]
     j32 = jnp.arange(32, dtype=jnp.int32)[None, :]
     m = (k & 127).astype(jnp.int32)[:, None]
     keep = jnp.clip(m - 4 * j32, 0, 4)
@@ -383,7 +396,7 @@ def lf_t3(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     LF(k) = L2[c] + 1 + strict_rank1(c, k) for c = the char preceding row
     k's suffix; the SA==0 row maps to the sentinel row 0."""
     B = k.shape[0]
-    row_syms = dfm.t3[k >> 7, 68:] if dfm.wide else dfm.t3[k >> 7, 64:]
+    row_syms = dfm.t3[k >> 7, 68:] if dfm.wide else dfm.t3[k >> 7, 32:]
     inb = (k & 127).astype(jnp.int32)
     w = jnp.take_along_axis(row_syms, (inb >> 2)[:, None], axis=1)[:, 0]
     sym = (w >> (((3 - (inb & 3)) * 8).astype(jnp.uint32))) & jnp.uint32(0xFF)
