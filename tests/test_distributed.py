@@ -15,7 +15,7 @@ def _strip_ref_line(b: bytes) -> bytes:
                       if not ln.startswith(b"##reference"))
 
 
-@pytest.mark.parametrize("nproc", [2])
+@pytest.mark.parametrize("nproc", [2, 3])
 def test_two_process_distributed_matches_single(tmp_path, nproc):
     from gsalign_tpu.config import AlignConfig
     from gsalign_tpu.genome.packing import pack_genome
