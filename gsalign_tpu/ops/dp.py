@@ -128,19 +128,35 @@ def _dp_forward_single(q_codes, t_codes, ql, tl, L):
     return d[:, 0, :]
 
 
-def _traceback_single(d_rows, ql, tl, L):
+def _traceback_batch(d_rows, ql, tl, L):
     """ksw_backtrack (src/ksw2_alignment.cpp:25-68), full band: no forcing.
 
-    Emits ops from the alignment END backwards; host reverses.
+    A reverse lax.scan over anti-diagonals: step r consumes direction row
+    d_rows[r] ([B, L], fed as scan xs — no gather at all) and every lane
+    whose current cell sits on anti-diagonal r (i + j == r) emits one op
+    and steps back (an M consumes two anti-diagonals, so the lane idles
+    the next step). Per-lane dynamic indexing into the [2L-1, B, L] cube
+    — the previous formulation — made every traceback step re-read the
+    WHOLE cube (XLA gather cost ~ table bytes/call): the traceback cost
+    34 of the 46 ms of a [2048, 128] DP call.
+
+    Emits ops from the alignment END backwards with OP_PAD on idle steps;
+    the host strips pads and reverses.
     """
     i32 = jnp.int32
-    n_steps = 2 * L
+    B = ql.shape[0]
+    iota = jax.lax.broadcasted_iota(i32, (B, L), 1)
 
-    def step(s, carry):
-        i, j, state, ops = carry
+    def step(carry, xs):
+        i, j, state = carry
+        r, d_row = xs                                         # [], [B, L]
         both = (i >= 0) & (j >= 0)
-        r = jnp.clip(i + j, 0, 2 * L - 2)
-        tmp = jnp.where(both, d_rows[r, jnp.clip(i, 0, L - 1)], 0).astype(i32)
+        act = (i + j == r)
+        # one-hot column select (a per-lane take is a scalar gather)
+        tmp = jnp.sum(jnp.where(iota == jnp.clip(i, 0, L - 1)[:, None],
+                                d_row, jnp.uint8(0)),
+                      axis=1, dtype=i32)
+        tmp = jnp.where(both, tmp, 0)
         s1 = jnp.where(state == 0, tmp & 7,
                        jnp.where(((tmp >> (state + 2)) & 1) == 0, 0, state))
         s2 = jnp.where(s1 == 0, tmp & 7, s1)
@@ -148,16 +164,25 @@ def _traceback_single(d_rows, ql, tl, L):
         is_d = (s2 == 1) | (s2 == 3)
         op_main = jnp.where(is_m, OP_M, jnp.where(is_d, OP_D, OP_I))
         op_tail = jnp.where(i >= 0, OP_D, jnp.where(j >= 0, OP_I, OP_PAD))
-        op = jnp.where(both, op_main, op_tail)
-        di = jnp.where(both, jnp.where(is_m | is_d, 1, 0), jnp.where(i >= 0, 1, 0))
-        dj = jnp.where(both, jnp.where(is_m | ~is_d, 1, 0), jnp.where((i < 0) & (j >= 0), 1, 0))
-        ops = ops.at[s].set(op.astype(jnp.uint8))
-        return (i - di, j - dj, jnp.where(both, s2, state), ops)
+        op = jnp.where(act, jnp.where(both, op_main, op_tail), OP_PAD)
+        di = jnp.where(both, jnp.where(is_m | is_d, 1, 0),
+                       jnp.where(i >= 0, 1, 0))
+        dj = jnp.where(both, jnp.where(is_m | ~is_d, 1, 0),
+                       jnp.where((i < 0) & (j >= 0), 1, 0))
+        new_i = jnp.where(act, i - di, i)
+        new_j = jnp.where(act, j - dj, j)
+        new_state = jnp.where(act & both, s2, state)
+        return (new_i, new_j, new_state), op.astype(jnp.uint8)
 
-    ops0 = jnp.full(n_steps, OP_PAD, jnp.uint8)
-    carry = (tl - 1, ql - 1, i32(0), ops0)
-    _, _, _, ops = jax.lax.fori_loop(0, n_steps, step, carry, unroll=8)
-    return ops  # uint8 [2L], reverse-order ops, OP_PAD tail
+    # one extra step at r = -1: a leading-gap tail op fires there when the
+    # other sequence is already exhausted ((i, j) = (0, -1) or (-1, 0));
+    # its d_row is a dummy (tail ops never read direction bytes)
+    rs = jnp.arange(2 * L - 2, -2, -1, dtype=i32)
+    d_rev = jnp.concatenate([d_rows[::-1], d_rows[:1]], axis=0)
+    (_, _, _), ops = jax.lax.scan(
+        step, (tl - 1, ql - 1, jnp.zeros(B, i32)),
+        (rs, d_rev), unroll=8)
+    return ops.T  # uint8 [B, 2L]: reverse-order ops, OP_PAD holes/tail
 
 
 @partial(jax.jit, static_argnames=("L",))
@@ -166,11 +191,9 @@ def dp_align_batch(q_codes: jnp.ndarray,   # int32 [B, L] ref fragments (pad 4)
                    ql: jnp.ndarray,        # int32 [B]
                    tl: jnp.ndarray,        # int32 [B]
                    L: int) -> jnp.ndarray:
-    """Returns reverse-order op codes uint8 [B, 2L] (OP_PAD beyond the end)."""
+    """Returns reverse-order op codes uint8 [B, 2L-1] (OP_PAD holes/tail)."""
     d_all = _dp_forward_batch(q_codes, t_codes, ql, tl, L)   # [2L-1, B, L]
-    d_all = jnp.moveaxis(d_all, 1, 0)                        # [B, 2L-1, L]
-    return jax.vmap(lambda d, a, b: _traceback_single(d, a, b, L))(
-        d_all, ql, tl)
+    return _traceback_batch(d_all, ql, tl, L)
 
 
 def align_fragments(ref_frags, qry_frags, bucket_sizes=(64, 128, 256, 512,
