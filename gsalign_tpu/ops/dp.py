@@ -48,12 +48,20 @@ def _dp_forward_batch(q_codes, t_codes, ql, tl, L):
     shifted by one each anti-diagonal, inserting Q[:, r] at lane 0. Rows past
     a problem's last real anti-diagonal write garbage into its frozen band;
     nothing reads those cells (traceback stays within r <= ql+tl-2).
+
+    All DP values are provably tiny for this scoring (the same bound the
+    reference's int8 SSE kernel relies on): s in {-1,0,1}, z in [5,7],
+    u,v in [-3,7], x,y in [0,5] — the carries are int8, quartering the
+    loop-carried HBM traffic of the scan (5 planes rewritten per row).
     """
     i32 = jnp.int32
+    i8 = jnp.int8
     B = q_codes.shape[0]
     n_rows = 2 * L - 1
     q_pad = jnp.concatenate(
-        [q_codes, jnp.full((B, L), WILDCARD, i32)], axis=1)   # Q[:, r], r<2L
+        [q_codes, jnp.full((B, L), WILDCARD, i32)],
+        axis=1).astype(i8)                                    # Q[:, r], r<2L
+    t8 = t_codes.astype(i8)
     t_idx = jax.lax.broadcasted_iota(i32, (B, L), 1)
 
     def row(carry, r):
@@ -66,39 +74,39 @@ def _dp_forward_batch(q_codes, t_codes, ql, tl, L):
         in_top = (r_eff <= tl - 1)[:, None]
         at_r = t_idx == r_eff[:, None]
         u = jnp.where(in_top & at_r,
-                      jnp.where(r_eff[:, None] > 0, GAP_OPEN, 0), u)
-        y = jnp.where(in_top & at_r, 0, y)
+                      jnp.where(r_eff[:, None] > 0, i8(GAP_OPEN), i8(0)), u)
+        y = jnp.where(in_top & at_r, i8(0), y)
 
         # qrr[t] = Q[r-t]: shift previous diagonal, insert Q[:, r] at t=0
         qcol = jax.lax.dynamic_slice_in_dim(q_pad, r, 1, axis=1)   # [B, 1]
         qrr = jnp.concatenate([qcol, qrr_prev[:, :-1]], axis=1)
-        is_wild = (t_codes >= WILDCARD) | (qrr >= WILDCARD)
-        s = jnp.where(is_wild, 0,
-                      jnp.where(t_codes == qrr, MATCH, MISMATCH)).astype(i32)
+        is_wild = (t8 >= i8(WILDCARD)) | (qrr >= i8(WILDCARD))
+        s = jnp.where(is_wild, i8(0),
+                      jnp.where(t8 == qrr, i8(MATCH), i8(MISMATCH)))
 
         # shifted previous-row values: xt1[t] = x[t-1], vt1[t] = v[t-1]
-        x1 = jnp.zeros((B, 1), i32)
-        v1 = jnp.where(r_eff[:, None] > 0, i32(GAP_OPEN), 0)
+        x1 = jnp.zeros((B, 1), i8)
+        v1 = jnp.where(r_eff[:, None] > 0, i8(GAP_OPEN), i8(0))
         xt1 = jnp.concatenate([x1, x[:, :-1]], axis=1)
         vt1 = jnp.concatenate([v1, v[:, :-1]], axis=1)
 
-        z = s + QE2
+        z = s + i8(QE2)
         a = xt1 + vt1
         b = y + u
-        d = jnp.where(a > z, 1, 0).astype(jnp.uint8)
+        d = jnp.where(a > z, jnp.uint8(1), jnp.uint8(0))
         z = jnp.maximum(z, a)
         d = jnp.where(b > z, jnp.uint8(2), d)
         z = jnp.maximum(z, b)
-        z = jnp.minimum(z, MAX_SC)
+        z = jnp.minimum(z, i8(MAX_SC))
         u_new = z - vt1
         v_new = z - u
-        z2 = z - GAP_OPEN
+        z2 = z - i8(GAP_OPEN)
         a2 = a - z2
         b2 = b - z2
-        x_new = jnp.maximum(a2, 0)
-        y_new = jnp.maximum(b2, 0)
-        d = d | jnp.where(a2 > 0, jnp.uint8(8), jnp.uint8(0))
-        d = d | jnp.where(b2 > 0, jnp.uint8(0x10), jnp.uint8(0))
+        x_new = jnp.maximum(a2, i8(0))
+        y_new = jnp.maximum(b2, i8(0))
+        d = d | jnp.where(a2 > i8(0), jnp.uint8(8), jnp.uint8(0))
+        d = d | jnp.where(b2 > i8(0), jnp.uint8(0x10), jnp.uint8(0))
 
         in_band = (t_idx >= st0[:, None]) & (t_idx <= en0[:, None])
         u = jnp.where(in_band, u_new, u)
@@ -108,8 +116,8 @@ def _dp_forward_batch(q_codes, t_codes, ql, tl, L):
         d = jnp.where(in_band, d, jnp.uint8(0))
         return (u, v, x, y, qrr), d
 
-    z0 = jnp.zeros((B, L), i32)
-    qrr0 = jnp.full((B, L), WILDCARD, i32)
+    z0 = jnp.zeros((B, L), i8)
+    qrr0 = jnp.full((B, L), WILDCARD, i8)
     # unroll: each anti-diagonal is a handful of small fused kernels whose
     # launch overhead dominates at these widths (~300 us/row at [2048, 64]);
     # unrolling amortizes the per-step dispatch across 8 rows
