@@ -279,7 +279,16 @@ def _build_t3_index(sa_full: np.ndarray, g_ctx: np.ndarray, t3: np.ndarray,
     symbol array already extracted from it (see build_fmindex).
     """
     rows = n + 1
-    small = np.nonzero(sa_full < 3)[0]          # exceptions: SA in {0, 1, 2}
+    # exceptions: the 3 rows with SA in {0, 1, 2} — found by chunked scan
+    # (a whole-array nonzero materializes a 200 MB bool temp at 100 Mb)
+    found = []
+    CH = 1 << 24
+    for s in range(0, rows, CH):
+        hits = np.nonzero(sa_full[s:s + CH] < 3)[0]
+        found.extend((hits + s).tolist())
+        if len(found) >= 3:
+            break
+    small = np.asarray(found[:3], dtype=np.int64)
     t3_exc_pos = small.astype(cp_dtype)
     assert t3_exc_pos.shape[0] == 3
     sa_small = sa_full[small]
@@ -298,18 +307,38 @@ def _build_t3_index(sa_full: np.ndarray, g_ctx: np.ndarray, t3: np.ndarray,
     lut_f &= 7
     key_lut = (np.where(lut_f == 4, 0, lut_f + 1)
                * np.array([[25], [5], [1]])).sum(0).astype(np.uint8)
-    keys = key_lut[g_ctx & np.uint16(0x1FF)]
     cls = np.arange(64)
     qkeys = ((cls >> 4) + 1) * 25 + (((cls >> 2) & 3) + 1) * 5 + (cls & 3) + 1
+    # the key sequence key_lut[g_ctx[i] & 0x1FF] is nondecreasing in i
+    # (it coarsens suffix order), so each block start is a direct
+    # bisection over g_ctx — 64 * log2(rows) scalar reads instead of
+    # materializing a rows-sized key array (big-temp page faults
+    # dominated the 100 Mb build)
     c64 = np.empty(65, dtype=np.int64)
-    c64[:64] = np.searchsorted(keys, qkeys.astype(np.uint8), side="left")
+
+    def key_at(i):
+        return int(key_lut[int(g_ctx[i]) & 0x1FF])
+
+    for ci in range(64):
+        qk = int(qkeys[ci])
+        lo, hi = 0, rows                 # first i with key_at(i) >= qk
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if key_at(mid) < qk:
+                lo = mid + 1
+            else:
+                hi = mid
+        c64[ci] = lo
     c64[64] = rows
 
     # per-block class checkpoints + 8-bit packed symbols (MSB-first in word)
     # -- built slab-wise: a single flat (block*64 + sym) id array is 8 bytes
     # per row, which at >2^31 rows dominated the build's memory footprint
     n3_blocks = rows // T3_BLOCK + 1
-    t3_cp = np.zeros((n3_blocks + 1, 64), dtype=np.int64)
+    # accumulate in the final dtype (counts cumsum to <= rows, which fits
+    # cp_dtype by construction) — a separate int64 buffer + astype cost
+    # seconds of page faults at 100 Mb scale
+    t3_cp = np.zeros((n3_blocks + 1, 64), dtype=cp_dtype)
     from gsalign_tpu import native_lib
     cnt_all = native_lib.block_counts(t3[:rows], 64, threads)
     if cnt_all is not None:
@@ -328,9 +357,10 @@ def _build_t3_index(sa_full: np.ndarray, g_ctx: np.ndarray, t3: np.ndarray,
             ids = ids[:e - s]
             ids += t3[s:e]
             cnt = np.bincount(ids, minlength=nb * 64).reshape(nb, 64)
-            t3_cp[b0 + 1: b0 + 1 + nb] += cnt  # shifted: exclusive cumsum
+            # shifted: exclusive cumsum (cast: t3_cp may be int32)
+            t3_cp[b0 + 1: b0 + 1 + nb] += cnt.astype(cp_dtype)
     np.cumsum(t3_cp, axis=0, out=t3_cp)
-    t3_cp = t3_cp[:n3_blocks].astype(cp_dtype)
+    t3_cp = np.ascontiguousarray(t3_cp[:n3_blocks])
     padded = np.zeros(n3_blocks * T3_BLOCK, dtype=np.uint8)
     padded[:rows] = t3
     # MSB-first 4x8-bit packing == a big-endian u32 view (no temporaries)
