@@ -110,10 +110,14 @@ void c12_counts(const uint8_t* text, int64_t n, int64_t* counts, int nt) {
             ++h[key];
         }
     });
-    for (int t = 0; t < nt; ++t) {
-        if (local[t].empty()) continue;
-        for (int64_t b = 0; b < BINS; ++b) counts[b] += local[t][b];
-    }
+    // merge the per-thread 134 MB histograms in parallel over bin ranges
+    parallel_ranges(BINS, nt, [&](int64_t bs, int64_t be, int) {
+        for (int t = 0; t < nt; ++t) {
+            if (local[t].empty()) continue;
+            const int64_t* h = local[t].data();
+            for (int64_t b = bs; b < be; ++b) counts[b] += h[b];
+        }
+    });
 }
 
 // Fused context build + SA gather + symbol extraction, one parallel pass:
@@ -144,6 +148,12 @@ void ctx_gather_extract(const uint8_t* text, int64_t n, const void* sa,
     parallel_ranges(rows, nt, [&](int64_t s, int64_t e, int) {
         int64_t j = s - (s > primary ? 1 : 0);
         for (int64_t i = s; i < e; ++i) {
+            if (i + 24 < e) {
+                // the random text read is the latency bound: prefetch the
+                // cacheline 24 rows ahead (covers p-3 .. p+2 almost always)
+                int64_t pf = idx_is64 ? sa64[i + 24] : int64_t(sa32[i + 24]);
+                __builtin_prefetch(text + (pf >= 3 ? pf - 3 : 0));
+            }
             int64_t p = idx_is64 ? sa64[i] : int64_t(sa32[i]);
             uint16_t v = ctx_at(p);
             g_ctx[i] = v;

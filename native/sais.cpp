@@ -41,9 +41,16 @@ void fused_bucket_starts(const TT* tt, I n, I k2, std::vector<I>& starts) {
 template <typename I, typename TT>
 void induce(const TT* tt, I* sa, const std::vector<I>& starts,
             std::vector<I>& bkt, I n, I k2) {
-    // induce L-type from sorted LMS/S: ascending scan, append at L fronts
+    // induce L-type from sorted LMS/S: ascending scan, append at L fronts.
+    // The tt[j-1] read is a dependent random access and the loop's latency
+    // bound; prefetching it a few iterations ahead (a stale sa[] read is
+    // harmless — any value is -1 or a valid index) is worth ~2x.
     bkt.assign(starts.begin(), starts.begin() + k2);
     for (I i = 0; i < n; i++) {
+        if (i + 16 < n) {
+            I jp = sa[i + 16];
+            if (jp > 0) __builtin_prefetch(tt + jp - 1);
+        }
         I j = sa[i];
         if (j > 0) {
             TT v = tt[j - 1];
@@ -53,6 +60,10 @@ void induce(const TT* tt, I* sa, const std::vector<I>& starts,
     // induce S-type from L: descending scan, prepend at S ends
     for (I v = 0; v < k2; v++) bkt[v] = starts[v + 1];
     for (I i = n - 1; i >= 0; i--) {
+        if (i >= 16) {
+            I jp = sa[i - 16];
+            if (jp > 0) __builtin_prefetch(tt + jp - 1);
+        }
         I j = sa[i];
         if (j > 0) {
             TT v = tt[j - 1];
@@ -101,6 +112,11 @@ void sais_core(const TT* t, I* sa, I n, I k) {
     std::fill(sa + n1, sa + n, (I)-1);
     I name = 0, prev = (I)-1;
     for (I i = 0; i < n1; i++) {
+        if (i + 8 < n1) {
+            I pp = sa[i + 8];
+            __builtin_prefetch(tt + pp);
+            __builtin_prefetch(sa + n1 + pp / 2, 1);
+        }
         I pos = sa[i];
         bool diff = false;
         if (prev == (I)-1) {
@@ -138,7 +154,10 @@ void sais_core(const TT* t, I* sa, I n, I k) {
         for (I i = 1; i < n; i++)
             if ((tt[i] & 1) && !(tt[i - 1] & 1)) lms.push_back(i);
         std::vector<I> sorted((size_t)n1);
-        for (I i = 0; i < n1; i++) sorted[i] = lms[sa[i]];
+        for (I i = 0; i < n1; i++) {
+            if (i + 16 < n1) __builtin_prefetch(lms.data() + sa[i + 16]);
+            sorted[i] = lms[sa[i]];
+        }
 
         // step 5: final induced sort from the fully sorted LMS order
         bkt.assign(k2, 0);
