@@ -33,12 +33,11 @@ CONFIGS = [
     ("ecoli_4.6mb", 4_600_000, 0.21),
     ("yeast_12mb", 12_000_000, 1.09),
 ]
-_C100 = os.path.join(BENCH_DIR, "celegans_100mb")
-if not os.environ.get("GSALIGN_BENCH_SMALL") and (
-        os.environ.get("GSALIGN_BENCH_FULL")
-        or os.path.exists(os.path.join(_C100, "ref_idx.npz"))):
-    # include the 100 Mb config when its data/index cache exists (a cold
-    # build + datagen is ~6 min — too slow for an unattended bench run)
+if not os.environ.get("GSALIGN_BENCH_SMALL"):
+    # the 100 Mb config is the headline scale (the regime the TPU build is
+    # designed for); a cold datagen + index build is ~4 min, acceptable for
+    # an unattended run (rows stream as they complete, so earlier configs
+    # survive even if this one is cut short)
     CONFIGS.append(("celegans_100mb", 100_000_000, 15.8))
 REPS = {"ecoli_4.6mb": 5, "yeast_12mb": 3, "celegans_100mb": 3}
 
@@ -89,7 +88,6 @@ def main():
     from gsalign_tpu.index.io import index_loadable, load_index, save_index
     from gsalign_tpu.pipeline.align import compare_genomes
 
-    lines = []
     headline = None
     for tag, total_len, baseline_s in CONFIGS:
         d, ref_fa, qry_fa = ensure_data(tag, total_len)
@@ -137,7 +135,7 @@ def main():
             "stage_seconds": {k: round(v, 3)
                               for k, v in stats.stage_times.items()},
         }
-        lines.append(row)
+        print(json.dumps(row), flush=True)   # stream rows as they complete
         # headline = the LARGEST completed config: the reference's own
         # headline claim is large-genome speed (BMC Genomics 2020: human
         # pairs in minutes), and per-device-call fixed costs amortize with
@@ -148,23 +146,21 @@ def main():
 
     # DP kernel north star (scan path; Pallas path printed when available)
     from gsalign_tpu.ops import dp as dp_ops
-    lines.append({"metric": "dp_scan_gcells_per_s",
-                  "value": round(dp_gcells(dp_ops.dp_align_batch), 3),
-                  "unit": "Gcells/s", "vs_baseline": None})
+    print(json.dumps({"metric": "dp_scan_gcells_per_s",
+                      "value": round(dp_gcells(dp_ops.dp_align_batch), 3),
+                      "unit": "Gcells/s", "vs_baseline": None}), flush=True)
     try:
         from gsalign_tpu.ops import dp_pallas
         if dp_pallas.probe():
-            lines.append({
+            print(json.dumps({
                 "metric": "dp_pallas_gcells_per_s",
                 "value": round(dp_gcells(dp_pallas.dp_align_batch_pallas), 3),
-                "unit": "Gcells/s", "vs_baseline": None})
+                "unit": "Gcells/s", "vs_baseline": None}), flush=True)
     except Exception:
         pass
 
-    for row in lines:
-        print(json.dumps(row))
     if headline is not None:
-        print(json.dumps(headline))
+        print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

@@ -87,5 +87,5 @@ def run(report=False):
         print(' '.join(f'{k}={v:.2f}' for k, v in T.items()), f'TOTAL={total:.2f}')
 
 run()          # warmup
-run(report=True)
-run(report=True)
+for _ in range(int(os.environ.get("PROF_REPS", "2"))):
+    run(report=True)
