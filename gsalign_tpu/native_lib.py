@@ -106,6 +106,23 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
             ctypes.c_int]
+        lib.maf_build_rows.restype = None
+        lib.maf_build_rows.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.c_int64, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -237,6 +254,49 @@ def seg_gather_u8(src: np.ndarray, starts: np.ndarray, lens: np.ndarray,
                       lens, offs, starts.shape[0], out,
                       threads or default_threads())
     return out
+
+
+def maf_build_rows(qry_chars: np.ndarray, ref_chars: np.ndarray,
+                   q_pos: np.ndarray, r_pos: np.ndarray,
+                   row_len: np.ndarray, offs: np.ndarray, cls: np.ndarray,
+                   dp1, dp2, emit_len: int, rev: bool,
+                   threads: Optional[int] = None):
+    """Fused MAF/ALN row assembly for one block (see native maf_build_rows):
+    one parallel pass emits both aligned rows with '-' counts, optionally
+    reverse-complemented. dp1/dp2 are per-pair uint8 arrays (None for
+    non-DP pairs; the caller must keep them alive and contiguous).
+    Returns (a1, a2, gaps1, gaps2) or None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = int(q_pos.shape[0])
+    p1 = (ctypes.c_void_p * n)()
+    p2 = (ctypes.c_void_p * n)()
+    keep = []                       # converted rows outlive the native call
+    for j in range(n):
+        if cls[j] == 4:
+            a, b = dp1[j], dp2[j]
+            if a.dtype != np.uint8 or not a.flags.c_contiguous:
+                a = np.ascontiguousarray(a, dtype=np.uint8)
+                keep.append(a)
+            if b.dtype != np.uint8 or not b.flags.c_contiguous:
+                b = np.ascontiguousarray(b, dtype=np.uint8)
+                keep.append(b)
+            p1[j] = a.ctypes.data
+            p2[j] = b.ctypes.data
+    a1 = np.empty(emit_len, dtype=np.uint8)
+    a2 = np.empty(emit_len, dtype=np.uint8)
+    gaps = np.zeros(2, dtype=np.int64)
+    lib.maf_build_rows(
+        qry_chars, ref_chars,
+        np.ascontiguousarray(q_pos, dtype=np.int64),
+        np.ascontiguousarray(r_pos, dtype=np.int64),
+        np.ascontiguousarray(row_len, dtype=np.int64),
+        np.ascontiguousarray(offs, dtype=np.int64),
+        np.ascontiguousarray(cls, dtype=np.uint8), n, p1, p2,
+        emit_len, 1 if rev else 0, a1, a2, gaps,
+        threads or default_threads())
+    return a1, a2, int(gaps[0]), int(gaps[1])
 
 
 def block_counts(vals: np.ndarray, k: int,

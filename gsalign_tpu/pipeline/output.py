@@ -113,14 +113,9 @@ def _build_rows(blk: Block, qry_chars: np.ndarray, ref_chars: np.ndarray):
     return a1, a2
 
 
-def _clip_extension(blk: Block, chr_index: ChrLocIndex, a1, a2,
-                    qry_chars: np.ndarray, ref_chars: np.ndarray):
-    """Clip a block running past its chromosome end (src/tools.cpp:192-202).
-    Mutates blk (score/aln_len/last-pair lens); returns truncated rows.
-
-    The reference truncates only the concatenated row buffer; the per-pair
-    aln strings keep their pre-clip content (the later variant walk reads
-    them unclipped), so an implied last pair is materialized first."""
+def _clip_amount(blk: Block, chr_index: ChrLocIndex) -> int:
+    """Bases by which the block runs past its chromosome end
+    (src/tools.cpp:192-202); <= 0 when no clip is needed."""
     g = chr_index.genome
     ref_idx = blk.coor.chromosome_idx
     end = int(blk.r_pos[-1] + blk.r_len[-1])
@@ -128,21 +123,69 @@ def _clip_extension(blk: Block, chr_index: ChrLocIndex, a1, a2,
         limit = int(g.offsets[ref_idx] + g.lengths[ref_idx])
     else:
         limit = int(chr_index.rev_loc[ref_idx] + g.lengths[ref_idx])
-    ext = end - limit
+    return end - limit
+
+
+def _emit_rows(blk: Block, qry_chars: np.ndarray, ref_chars: np.ndarray,
+               chr_index: ChrLocIndex, rev: bool):
+    """Aligned rows of one block, chromosome-end-clipped, '-'-counted, and
+    (when rev) reverse-complemented: (a1, a2, gaps1, gaps2).
+
+    Applies the clip mutations of the reference (src/tools.cpp:192-202) to
+    blk (score/aln_len/last-pair lens); the per-pair aln rows keep their
+    pre-clip content (the later variant walk reads them unclipped), so an
+    implied clipped last pair is materialized first. The assembly runs as
+    ONE multithreaded native pass when the library is available."""
+    from gsalign_tpu import native_lib
+    ext = _clip_amount(blk, chr_index)
+    last = blk.n - 1
+    if ext > 0 and not blk.b_seed[last] and blk.aln1[last] is None:
+        from gsalign_tpu.pipeline.generate import pair_rows
+        blk.aln1[last], blk.aln2[last] = (
+            arr.copy() for arr in pair_rows(blk, last, qry_chars, ref_chars))
+
+    has_aln = np.asarray([a is not None for a in blk.aln1])
+    row_len = np.where(blk.b_seed, blk.q_len,
+                       np.where(has_aln, 0,
+                                np.maximum(blk.q_len, blk.r_len)))
+    dp_mask = has_aln & ~blk.b_seed
+    dp_idx = np.nonzero(dp_mask)[0]
+    if dp_idx.size:
+        row_len[dp_idx] = [len(blk.aln1[j]) for j in dp_idx]
+    offs = np.concatenate([[0], np.cumsum(row_len)])
+    emit_len = int(offs[-1]) if ext <= 0 \
+        else min(blk.aln_len - ext, int(offs[-1]))
+
+    cls = np.full(blk.n, 4, dtype=np.uint8)      # default: DP rows
+    implied = ~blk.b_seed & ~has_aln
+    cls[blk.b_seed] = 0
+    cls[implied & (blk.q_len == blk.r_len) & (blk.q_len > 0)] = 1
+    cls[implied & (blk.q_len == 0)] = 2
+    cls[implied & (blk.r_len == 0) & (blk.q_len > 0)] = 3
+
+    out = None
+    if not (implied & (blk.q_len != blk.r_len)
+            & (blk.q_len > 0) & (blk.r_len > 0)).any():
+        out = native_lib.maf_build_rows(
+            qry_chars, ref_chars, blk.q_pos, blk.r_pos, row_len, offs, cls,
+            blk.aln1, blk.aln2, emit_len, rev)
+    if out is None:
+        a1, a2 = _build_rows(blk, qry_chars, ref_chars)
+        a1, a2 = a1[:emit_len], a2[:emit_len]
+        gaps1 = int((a1 == _GAP).sum())
+        gaps2 = int((a2 == _GAP).sum())
+        if rev:
+            a1 = self_complementary(a1)
+            a2 = self_complementary(a2)
+    else:
+        a1, a2, gaps1, gaps2 = out
+
     if ext > 0:
-        last = blk.n - 1
-        if not blk.b_seed[last] and blk.aln1[last] is None:
-            from gsalign_tpu.pipeline.generate import pair_rows
-            blk.aln1[last], blk.aln2[last] = (
-                arr.copy() for arr in pair_rows(blk, last, qry_chars,
-                                                ref_chars))
         blk.aln_len -= ext
         blk.score -= ext
         blk.r_len[-1] -= ext
         blk.q_len[-1] -= ext
-        a1 = a1[:blk.aln_len]
-        a2 = a2[:blk.aln_len]
-    return a1, a2
+    return a1, a2, gaps1, gaps2
 
 
 def _pad_names(qry_name: str, ref_name: str):
@@ -169,16 +212,13 @@ def write_maf(path: str, blocks: List[Block], qry_name: str,
         for blk in blocks:
             if not allow_duplication and blk.b_dup:
                 continue
-            a1, a2 = _build_rows(blk, qry_chars,
-                                 chr_index.genome.chars_fwd_rc())
             ref_idx = blk.coor.chromosome_idx
             ref_name = g.names[ref_idx]
             qn, _ = _pad_names(qry_name, ref_name)
-            a1, a2 = _clip_extension(blk, chr_index, a1, a2, qry_chars,
-                                     chr_index.genome.chars_fwd_rc())
+            a1, a2, gaps1, gaps2 = _emit_rows(
+                blk, qry_chars, chr_index.genome.chars_fwd_rc(), chr_index,
+                rev=not blk.coor.b_dir)
             score = 1 if blk.b_dup else blk.score
-            gaps1 = int((a1 == ord("-")).sum())
-            gaps2 = int((a2 == ord("-")).sum())
             chr_len = int(g.lengths[ref_idx])
             if blk.coor.b_dir:
                 r_start = blk.coor.g_pos - 1
@@ -186,8 +226,6 @@ def write_maf(path: str, blocks: List[Block], qry_name: str,
             else:
                 r_last = int(blk.r_pos[-1] + blk.r_len[-1] - 1)
                 r_start = gen_coordinate_info(chr_index, r_last).g_pos - 1
-                a1 = self_complementary(a1)
-                a2 = self_complementary(a2)
                 q_start = qry_total - int(blk.q_pos[-1] + blk.q_len[-1])
             fh.write(f"a score={score}\n".encode())
             fh.write(f"s ref.{ref_name} {r_start} "
@@ -209,13 +247,12 @@ def write_aln(path: str, blocks: List[Block], qry_name: str,
         for blk in blocks:
             if not allow_duplication and blk.b_dup:
                 continue
-            a1, a2 = _build_rows(blk, qry_chars,
-                                 chr_index.genome.chars_fwd_rc())
             ref_idx = blk.coor.chromosome_idx
             ref_name = g.names[ref_idx]
             qn, rn = _pad_names(qry_name, ref_name)
-            a1, a2 = _clip_extension(blk, chr_index, a1, a2, qry_chars,
-                                     chr_index.genome.chars_fwd_rc())
+            a1, a2, _, _ = _emit_rows(
+                blk, qry_chars, chr_index.genome.chars_fwd_rc(), chr_index,
+                rev=False)
             idy = int(1000 * (blk.score / blk.aln_len)) / 10.0 \
                 if blk.aln_len else 0.0
             fh.write(f"#Identity = {blk.score} / {blk.aln_len} ({idy:.2f}%) "

@@ -212,4 +212,111 @@ void seg_gather_u8(const uint8_t* src, const int64_t* starts,
     });
 }
 
+namespace {
+
+// ReverseMap (reference src/tools.cpp:3-31): complement for ACGTUN
+// upper/lower + '-'; everything else maps to 0, matching the numpy
+// REVERSE_MAP table in pipeline/output.py.
+struct CompTable {
+    uint8_t m[256];
+    CompTable() {
+        std::memset(m, 0, sizeof(m));
+        const int pairs[][2] = {{45, 45},  {65, 84},  {67, 71}, {71, 67},
+                                {78, 78},  {84, 65},  {85, 65}, {97, 84},
+                                {99, 71},  {103, 67}, {110, 78},
+                                {116, 65}, {117, 65}};
+        for (auto& p : pairs) m[p[0]] = uint8_t(p[1]);
+    }
+};
+const CompTable kComp;
+
+}  // namespace
+
+// Fused MAF/ALN row assembly for one alignment block: ONE parallel pass
+// over its pairs emits both aligned rows, the '-' counts, and (when rev)
+// the reverse-complemented orientation — replacing the numpy
+// copy-then-patch pipeline's six whole-row passes (OutputMAF semantics,
+// reference src/tools.cpp:149-220).
+//
+// cls[j]: 0 seed  (both rows = query chars — the reference quirk),
+//         1 direct (a1 = ref chars, a2 = query chars),
+//         2 deletion (a1 = ref chars, a2 = '-'),
+//         3 insertion (a1 = '-', a2 = query chars),
+//         4 DP (rows copied from the dp1/dp2 per-pair pointers).
+// Row positions >= emit_len are dropped (the chromosome-end clip). When
+// rev != 0 rows land reverse-complemented: out[emit_len-1-i] = comp(x_i).
+// gaps_out[0], gaps_out[1] = emitted '-' counts of a1, a2.
+void maf_build_rows(const uint8_t* qry, const uint8_t* ref,
+                    const int64_t* q_pos, const int64_t* r_pos,
+                    const int64_t* row_len, const int64_t* offs,
+                    const uint8_t* cls, int64_t n,
+                    const uint8_t* const* dp1, const uint8_t* const* dp2,
+                    int64_t emit_len, int rev, uint8_t* out1, uint8_t* out2,
+                    int64_t* gaps_out, int nt) {
+    nt = clamp_threads(nt, n, 1 << 9);
+    std::vector<int64_t> g1(nt, 0), g2(nt, 0);
+    parallel_ranges(n, nt, [&](int64_t s, int64_t e, int t) {
+        int64_t gg1 = 0, gg2 = 0;
+        for (int64_t j = s; j < e; ++j) {
+            int64_t off = offs[j];
+            int64_t lim = std::min(row_len[j], emit_len - off);
+            if (lim <= 0) continue;
+            uint8_t c = cls[j];
+            const uint8_t* s1;
+            const uint8_t* s2;
+            switch (c) {
+                case 0:  s1 = s2 = qry + q_pos[j]; break;
+                case 1:  s1 = ref + r_pos[j]; s2 = qry + q_pos[j]; break;
+                case 2:  s1 = ref + r_pos[j]; s2 = nullptr; break;
+                case 3:  s1 = nullptr; s2 = qry + q_pos[j]; break;
+                default: s1 = dp1[j]; s2 = dp2[j]; break;
+            }
+            // gap counts are LITERAL '-' counts over the emitted bytes for
+            // every class (the numpy path's (row == '-').sum(), and what
+            // the reference counts), not per-class arithmetic
+            if (rev) {
+                uint8_t* d1 = out1 + (emit_len - 1 - off);
+                uint8_t* d2 = out2 + (emit_len - 1 - off);
+                for (int64_t i = 0; i < lim; ++i) {
+                    uint8_t v1 = s1 ? s1[i] : uint8_t('-');
+                    uint8_t v2 = s2 ? s2[i] : uint8_t('-');
+                    gg1 += v1 == '-';
+                    gg2 += v2 == '-';
+                    d1[-i] = kComp.m[v1];
+                    d2[-i] = kComp.m[v2];
+                }
+            } else {
+                uint8_t* d1 = out1 + off;
+                uint8_t* d2 = out2 + off;
+                if (s1) {
+                    for (int64_t i = 0; i < lim; ++i) {  // auto-vectorizes
+                        uint8_t v = s1[i];
+                        d1[i] = v;
+                        gg1 += v == '-';
+                    }
+                } else {
+                    std::memset(d1, '-', size_t(lim));
+                    gg1 += lim;
+                }
+                if (s2) {
+                    for (int64_t i = 0; i < lim; ++i) {
+                        uint8_t v = s2[i];
+                        d2[i] = v;
+                        gg2 += v == '-';
+                    }
+                } else {
+                    std::memset(d2, '-', size_t(lim));
+                    gg2 += lim;
+                }
+            }
+        }
+        g1[t] = gg1;
+        g2[t] = gg2;
+    });
+    int64_t t1 = 0, t2 = 0;
+    for (int t = 0; t < nt; ++t) { t1 += g1[t]; t2 += g2[t]; }
+    gaps_out[0] = t1;
+    gaps_out[1] = t2;
+}
+
 }  // extern "C"
