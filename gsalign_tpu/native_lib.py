@@ -273,17 +273,16 @@ def maf_build_rows(qry_chars: np.ndarray, ref_chars: np.ndarray,
     p1 = (ctypes.c_void_p * n)()
     p2 = (ctypes.c_void_p * n)()
     keep = []                       # converted rows outlive the native call
-    for j in range(n):
-        if cls[j] == 4:
-            a, b = dp1[j], dp2[j]
-            if a.dtype != np.uint8 or not a.flags.c_contiguous:
-                a = np.ascontiguousarray(a, dtype=np.uint8)
-                keep.append(a)
-            if b.dtype != np.uint8 or not b.flags.c_contiguous:
-                b = np.ascontiguousarray(b, dtype=np.uint8)
-                keep.append(b)
-            p1[j] = a.ctypes.data
-            p2[j] = b.ctypes.data
+    for j in np.nonzero(cls == 4)[0].tolist():
+        a, b = dp1[j], dp2[j]
+        if a.dtype != np.uint8 or not a.flags.c_contiguous:
+            a = np.ascontiguousarray(a, dtype=np.uint8)
+            keep.append(a)
+        if b.dtype != np.uint8 or not b.flags.c_contiguous:
+            b = np.ascontiguousarray(b, dtype=np.uint8)
+            keep.append(b)
+        p1[j] = a.ctypes.data
+        p2[j] = b.ctypes.data
     a1 = np.empty(emit_len, dtype=np.uint8)
     a2 = np.empty(emit_len, dtype=np.uint8)
     gaps = np.zeros(2, dtype=np.int64)

@@ -148,7 +148,7 @@ def _meta16(qrow: jnp.ndarray, off: jnp.ndarray):
 
 
 @partial(jax.jit, static_argnames=("min_seed_length", "max_seed_freq",
-                                   "sensitive", "max_out"))
+                                   "sensitive", "max_out", "init12"))
 def _seed_scan(dfm: DeviceFMIndex,
                q_rows: jnp.ndarray,      # uint32 [n_qrow, 64] (_build_qrows)
                starts: jnp.ndarray,      # int32 [B]
@@ -159,7 +159,8 @@ def _seed_scan(dfm: DeviceFMIndex,
                min_seed_length: int,
                max_seed_freq: int,
                sensitive: bool,
-               max_out: int):
+               max_out: int,
+               init12: bool = True):
     B = starts.shape[0]
     i32 = jnp.int32
     u32 = jnp.uint32
@@ -168,7 +169,7 @@ def _seed_scan(dfm: DeviceFMIndex,
     # INIT-8 is only emission-exact when any sub-8 match is a guaranteed
     # miss; direct extension needs a one-gather SA and int32 positions
     use8 = min_seed_length > 8
-    use12 = min_seed_length > 12
+    use12 = min_seed_length > 12 and init12
     direct = dfm.direct_ok
     n_sa = dfm.seq_len + 1 if direct else dfm.sa_samples.shape[0]
     n_trow = dfm.text_rows.shape[0]
@@ -480,7 +481,8 @@ MAX_LANES_PER_CALL = 4096   # keep single device calls well under the remote
 
 
 def _run_scan(dfm, q_rows, starts, emit_stops, ext_stops, hard_stops,
-              min_seed_length, max_seed_freq, sensitive, max_out, mesh=None):
+              min_seed_length, max_seed_freq, sensitive, max_out, mesh=None,
+              init12=True):
     """Launch the scan kernel with power-of-two lane padding (stable compiled
     shapes) and minimal device->host transfer (buffers trimmed to the widest
     actually-used slot count). Lane sets beyond MAX_LANES_PER_CALL run as
@@ -496,7 +498,7 @@ def _run_scan(dfm, q_rows, starts, emit_stops, ext_stops, hard_stops,
                 dfm, q_rows, starts[s:e], emit_stops[s:e],
                 ext_stops[s:e], hard_stops[s:e],
                 min_seed_length, max_seed_freq, sensitive, max_out,
-                mesh=mesh)))
+                mesh=mesh, init12=init12)))
         outs = [_fetch_scan(n_real, raw, max_out, st)
                 for n_real, st, raw in pending]
         width = max(o[0].shape[1] for o in outs)
@@ -517,13 +519,13 @@ def _run_scan(dfm, q_rows, starts, emit_stops, ext_stops, hard_stops,
                 np.concatenate([o[6] for o in outs]))
     return _fetch_scan(B, _launch_scan(
         dfm, q_rows, starts, emit_stops, ext_stops, hard_stops,
-        min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh),
-        max_out, starts)
+        min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh,
+        init12=init12), max_out, starts)
 
 
 def _launch_scan(dfm, q_rows, starts, emit_stops, ext_stops,
                  hard_stops, min_seed_length, max_seed_freq, sensitive,
-                 max_out, mesh=None):
+                 max_out, mesh=None, init12=True):
     """Dispatch one scan slab (async); returns the raw device arrays."""
     B = len(starts)
     Bp = _next_pow2(B)
@@ -551,7 +553,7 @@ def _launch_scan(dfm, q_rows, starts, emit_stops, ext_stops,
     return _seed_scan(
         dfm, q_rows, st, em, ex, hd,
         min_seed_length=min_seed_length, max_seed_freq=max_seed_freq,
-        sensitive=sensitive, max_out=max_out)
+        sensitive=sensitive, max_out=max_out, init12=init12)
 
 
 def _fetch_scan(B, raw, max_out, starts):
@@ -587,7 +589,8 @@ def find_seeds_all(dfm: DeviceFMIndex,
                    n_segments: int = 1,
                    slack: int = 600,
                    mesh=None,
-                   max_out_cap=None):
+                   max_out_cap=None,
+                   init12: bool = True):
     """Seed ALL query chromosomes, exactly reproducing the reference's
     per-chunk sequential scan, with speculative segment parallelism.
 
@@ -661,7 +664,8 @@ def find_seeds_all(dfm: DeviceFMIndex,
         dfm, q_rows, np.asarray(lane_starts, np.int32),
         np.asarray(lane_emit, np.int32), np.asarray(lane_ext, np.int32),
         np.asarray(lane_hard, np.int32),
-        min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh)
+        min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh,
+        init12=init12)
     for i, key in enumerate(lane_key):
         m = n[i]
         starts_i = qs[i, :m]
@@ -724,7 +728,8 @@ def find_seeds_all(dfm: DeviceFMIndex,
         # fixup lanes run with the REAL chunk-end clip: never poisoned
         qs, ls, k0, fr, n, exits, poi = _run_scan(
             dfm, q_rows, f_starts, f_emit, f_ext, f_ext,
-            min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh)
+            min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh,
+            init12=init12)
         for i, (ci, k, e, _, _) in enumerate(fixups):
             m = n[i]
             starts_i = qs[i, :m]
@@ -805,10 +810,12 @@ def find_seeds(dfm: DeviceFMIndex,
                slack: int = 600,
                mesh=None,
                max_out_cap=None,
+               init12: bool = True,
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Find all LMEM seeds of one query chromosome (see find_seeds_all)."""
     return find_seeds_all(
         dfm, [query_codes], min_seed_length=min_seed_length,
         max_seed_freq=max_seed_freq, sensitive=sensitive, chunk=chunk,
         slack=slack,
-        n_segments=n_segments, mesh=mesh, max_out_cap=max_out_cap)[0]
+        n_segments=n_segments, mesh=mesh, max_out_cap=max_out_cap,
+        init12=init12)[0]

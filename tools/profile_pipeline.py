@@ -14,6 +14,8 @@ from gsalign_tpu.config import AlignConfig
 from gsalign_tpu.pipeline import chain, blocks as blk_ops
 from gsalign_tpu.genome.coords import ChrLocIndex, gen_coordinate_info
 from gsalign_tpu.pipeline.generate import generate_alignments
+from gsalign_tpu.pipeline import generate as gen_mod
+from gsalign_tpu.ops import dp as dp_ops
 from gsalign_tpu.pipeline.output import write_maf
 from gsalign_tpu.pipeline.variants import VariantCollector, identify_variants, write_vcf
 
@@ -29,6 +31,9 @@ cfg = AlignConfig()
 chr_index = ChrLocIndex(genome)
 ref_chars = genome.chars_fwd_rc()
 dfm = DeviceFMIndex.from_host(fm)
+
+ref_codes = genome.codes_fwd_rc()   # pooled decode, as align.py does
+
 
 def run(report=False):
     T = {}
@@ -63,7 +68,18 @@ def run(report=False):
         for b in blocks:
             if b.score > 0: blk_ops.fill_block_gaps(b)
         t0 = mark('blocks', t0)
-        generate_alignments(blocks, qry, ref_chars, cfg)
+        jobs, rf, qf = gen_mod.plan_alignments(blocks, qry, ref_chars,
+                                               ref_codes=ref_codes,
+                                               qry_codes=qc)
+        ops_list = []
+        if jobs:
+            dp_fn = gen_mod.select_dp_fn(cfg)
+            kw = {} if dp_fn is None else {"dp_fn": dp_fn}
+            ops_list = dp_ops.align_fragments(rf, qf,
+                                              bucket_sizes=cfg.dp_buckets,
+                                              batch_cells=cfg.dp_batch_cells,
+                                              **kw)
+        gen_mod.finish_alignments(blocks, jobs, ops_list, qry, ref_chars)
         t0 = mark('gen', t0)
         n = 0
         for b in blocks:
@@ -77,7 +93,8 @@ def run(report=False):
         write_maf(f'{prefix}/prof.maf', blocks, name, qry, chr_index, first, True)
         first = False
         t0 = mark('maf', t0)
-        identify_variants(blocks, qry, ref_chars, chr_index, collector)
+        identify_variants(blocks, qry, ref_chars, chr_index, collector,
+                          ref_codes=ref_codes, qry_codes=qc)
         t0 = mark('vars', t0)
     t0 = time.time()
     write_vcf(f'{prefix}/prof.vcf', collector, genome.names, genome.lengths, 'x')
