@@ -39,6 +39,9 @@ if not os.environ.get("GSALIGN_BENCH_SMALL"):
     # an unattended run (rows stream as they complete, so earlier configs
     # survive even if this one is cut short)
     CONFIGS.append(("celegans_100mb", 100_000_000, 15.8))
+_only = os.environ.get("GSALIGN_BENCH_ONLY")
+if _only:                       # one-config runs for A/B measurements
+    CONFIGS = [c for c in CONFIGS if c[0] == _only]
 REPS = {"ecoli_4.6mb": 5, "yeast_12mb": 3, "celegans_100mb": 3}
 
 

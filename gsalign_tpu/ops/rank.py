@@ -26,14 +26,14 @@ from gsalign_tpu.index.fmindex import FMIndex, WORDS_PER_BLOCK
 UNION_ROW = 16   # uint32 words per row of the single-char rank table
 T3_ROW_WIDE = 100  # wide fused rows: 64 cp-low + 4 carry words + 32 syms
 # comb_pairs layout offsets (see the field's docstring)
-C12_OFF = 2 * (65536 + 136)            # c12 starts plane (+ sentinel)
-SA_OFF = C12_OFF + 4 ** 12 + 1         # sa_samples (direct indexes only)
+C10_OFF = 2 * (65536 + 136)            # c10 starts plane (+ sentinel)
+SA_OFF = C10_OFF + 4 ** 10 + 1         # sa_samples (direct indexes only)
 
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["union", "t3", "t3_major", "l2",
                       "sa_samples", "c64", "t3_exc_pos", "t3_exc_chr",
-                      "comb_pairs", "c12_corr", "text_rows"],
+                      "comb_pairs", "init_corr", "text_rows"],
          meta_fields=["seq_len", "primary", "sa_intv", "wide", "direct_ok"])
 @dataclasses.dataclass(frozen=True)
 class DeviceFMIndex:
@@ -60,11 +60,14 @@ class DeviceFMIndex:
     t3_exc_chr: jnp.ndarray   # int32 [3]
     # The seeding scan's per-iteration pair lookups, flattened 1-D so one
     # gather with per-lane SELECTED indices serves every scan class:
-    # [c8 lo (65536) | lut lo (136) | c8 sz | lut sz | c12 starts (4^12+1)]
-    # — the c12 SIZE is NOT stored (XLA TPU gathers re-read the whole
-    # table per call, so the 67 MB sz plane was pure sweep cost): it is
-    # starts[g+1] - starts[g] minus the <= 12 short-suffix +1 steps
-    # recorded in c12_corr (keys g where a step lands at g+1).
+    # [c8 lo (65536) | lut lo (136) | c8 sz | lut sz | c10 starts (4^10+1)]
+    # — the INIT jump table is ORDER 10, derived at load time from the
+    # stored order-12 counts: every XLA TPU gather re-reads its whole
+    # table per call, so the 4^12 starts plane was a 67 MB sweep on EVERY
+    # scan iteration; 4^10 starts are 4 MB for a jump only two bases
+    # shorter. Sizes are NOT stored: sz = starts[g+1] - starts[g] minus
+    # the <= 10 short-suffix +1 steps recorded in init_corr (keys g where
+    # a step lands at g+1).
     # The lut rows are
     #  rows   0..63   triple INIT  (C64[g], C64[g+1]-C64[g])
     #  rows  64..67   single INIT by query base c (L2[3-c]+1, L2[c+1]-L2[c])
@@ -76,9 +79,9 @@ class DeviceFMIndex:
     # array at SA_OFF so the scan's occurrence-resolution gather rides the
     # same kernel (the sa_samples field is then a [1] dummy).
     comb_pairs: jnp.ndarray   # rdtype [SA_OFF (+ seq_len+1 when direct)]
-    # 12-mer keys g whose block size needs a -1 vs starts[g+1]-starts[g]
+    # 10-mer keys g whose block size needs a -1 vs starts[g+1]-starts[g]
     # (short-suffix steps at g+1; duplicates legal), padded with -1
-    c12_corr: jnp.ndarray     # int32 [12]
+    init_corr: jnp.ndarray    # int32 [10]
     # Overlapping 512-base windows of the packed fwd+RC text at stride 256:
     # row r = words [16r, 16r+32). Direct-extension seeding (unique-interval
     # lanes compare text to query 256 bases per gather) reads these; a [1,1]
@@ -155,15 +158,15 @@ class DeviceFMIndex:
         if c12 is None:                    # pre-v5 in-memory index
             from gsalign_tpu.index.fmindex import _build_c12
             c12 = _build_c12(fm.genome.codes_fwd_rc(), fm.seq_len)
-        from gsalign_tpu.index.fmindex import c12_step_keys
-        steps = c12_step_keys(c12)         # lb values of the +1 steps
-        corr = np.full(12, -1, dtype=np.int64)
+        starts10, steps = _derive_c10(c12[:, 1],
+                                      fm.genome.codes_fwd_rc(), fm.seq_len)
+        corr = np.full(10, -1, dtype=np.int64)
         # a step at lb bumps starts[lb:], i.e. block lb-1's naive size;
         # lb == 0 only shifts the whole table (no block affected)
         keys = steps[steps > 0] - 1
         corr[:keys.shape[0]] = keys
         comb_parts = [c8[:, 0], lut[:, 0], c8[:, 1], lut[:, 1],
-                      c12[:, 0], np.asarray([fm.seq_len + 1], np.int64)]
+                      starts10, np.asarray([fm.seq_len + 1], np.int64)]
         if direct_ok:
             comb_parts.append(fm.sa_samples)
             sa_field = np.zeros(1, dtype=np.int32)
@@ -180,7 +183,7 @@ class DeviceFMIndex:
             t3_exc_pos=jnp.asarray(fm.t3_exc_pos, dtype=rdt),
             t3_exc_chr=jnp.asarray(fm.t3_exc_chr, dtype=jnp.int32),
             comb_pairs=jnp.asarray(comb, dtype=rdt),
-            c12_corr=jnp.asarray(corr, dtype=jnp.int32),
+            init_corr=jnp.asarray(corr, dtype=jnp.int32),
             text_rows=jnp.asarray(text_rows),
             seq_len=int(fm.seq_len),
             primary=int(fm.primary),
@@ -190,6 +193,37 @@ class DeviceFMIndex:
         )
         fm._device_cache = dfm
         return dfm
+
+
+def _derive_c10(counts12: np.ndarray, text: np.ndarray, n: int):
+    """ORDER-10 INIT jump starts from the stored order-12 counts.
+
+    12-mer keys put the FIRST char in the high bits (fmindex._build_c12),
+    so the low 20 bits of key12(p) are the 10-mer at p+2: summing the
+    counts over the 16 high-bit values counts every 10-mer except the two
+    at p in {0, 1}, added back from the text. Starts are the exclusive
+    cumsum plus one +1 step per suffix SHORTER than 10 chars (incl. the
+    sentinel row), exactly the _build_c12 short-suffix argument at order
+    10. Returns (starts[4^10] int64, step lbs int64[<=10])."""
+    nk = 4 ** 10
+    counts10 = np.ascontiguousarray(counts12.reshape(16, nk)).sum(
+        axis=0, dtype=np.int64)
+    for p in (0, 1):
+        if n - 10 >= p:
+            key = 0
+            for j in range(10):
+                key = (key << 2) | int(text[p + j])
+            counts10[key] += 1
+    starts10 = np.zeros(nk, dtype=np.int64)
+    np.cumsum(counts10[:-1], out=starts10[1:])
+    steps = []
+    for k in range(0, min(10, n + 1)):     # suffix of length k at n - k
+        lb = 0
+        for j in range(k):
+            lb += int(text[n - k + j]) << (2 * (9 - j))
+        starts10[lb:] += 1
+        steps.append(lb)
+    return starts10, np.asarray(steps, dtype=np.int64)
 
 
 _LOW = jnp.uint32(0x55555555)

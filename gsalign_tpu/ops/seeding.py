@@ -110,7 +110,7 @@ def _extract256(rows: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray:
 def _meta16(qrow: jnp.ndarray, off: jnp.ndarray):
     """Decode scan metadata for the 16 bases starting at 2-bit-field offset
     `off` (0..255) of [B, 64]-word query windows (pk plane | amb plane):
-    returns (cls12, real3, b1ok, real8, real12).
+    returns (cls12, real3, b1ok, real8, real10).
 
     cls12 is the 12-mer class of bases (p .. p+11): (3 - base) in ASCENDING
     2-bit fields (fmindex._build_c12 key of the RC 12-mer; the shorter
@@ -140,11 +140,11 @@ def _meta16(qrow: jnp.ndarray, off: jnp.ndarray):
                                              & u32(0x00FF00FF))
     r = (r << u32(16)) | (r >> u32(16))
     cls12 = (r & u32(0xFFFFFF)).astype(i32)
-    real12 = (a & u32(0xFFFFFF00)) == 0
+    real10 = (a & u32(0xFFFFF000)) == 0
     real8 = (a & u32(0xFFFF0000)) == 0
     real3 = (a & u32(0xFC000000)) == 0
     b1ok = (a & u32(0xC0000000)) == 0
-    return cls12, real3, b1ok, real8, real12
+    return cls12, real3, b1ok, real8, real10
 
 
 @partial(jax.jit, static_argnames=("min_seed_length", "max_seed_freq",
@@ -169,7 +169,7 @@ def _seed_scan(dfm: DeviceFMIndex,
     # INIT-8 is only emission-exact when any sub-8 match is a guaranteed
     # miss; direct extension needs a one-gather SA and int32 positions
     use8 = min_seed_length > 8
-    use12 = min_seed_length > 12 and init12
+    use10 = min_seed_length > 10 and init12
     direct = dfm.direct_ok
     n_sa = dfm.seq_len + 1 if direct else dfm.sa_samples.shape[0]
     n_trow = dfm.text_rows.shape[0]
@@ -238,8 +238,9 @@ def _seed_scan(dfm: DeviceFMIndex,
         look_safe = jnp.clip(look, 0, n_qrow * 256 - 1)
         q_cmp = jnp.clip(ext_pos, 0, n_qrow * 256 - 1)   # direct compare pos
         qrows2 = q_rows[jnp.concatenate([look_safe >> 8, q_cmp >> 8])]
-        cls12, real3, b1ok, real8, real12 = _meta16(qrows2[:B],
+        cls12, real3, b1ok, real8, real10 = _meta16(qrows2[:B],
                                                     look_safe & 255)
+        cls10 = cls12 & 0xFFFFF
         cls8 = cls12 & 0xFFFF
         cls3 = cls12 & 63       # k-mer class prefixes nest (_meta16)
         cls1 = cls12 & 3
@@ -247,12 +248,12 @@ def _seed_scan(dfm: DeviceFMIndex,
 
         # ---- INIT class choice ----
         init_amb = ~b1ok
-        # INIT-12/INIT-8: jump 12 (8) bases via the c12 (c8) table; a dead
+        # INIT-10/INIT-8: jump 10 (8) bases via the c10 (c8) table; a dead
         # k-mer can only be a miss (len < k < min_seed), advancing the
         # cursor by one — exactly the single-step outcome. INIT-3 likewise
         # via the C64 range.
-        if use12:
-            init_can12 = b1ok & real12 & (cursor + 11 < ext_stops)
+        if use10:
+            init_can12 = b1ok & real10 & (cursor + 9 < ext_stops)
         else:
             init_can12 = jnp.zeros(B, jnp.bool_)
         if use8:
@@ -273,7 +274,7 @@ def _seed_scan(dfm: DeviceFMIndex,
         i3_lo_idx = 65536 + cls3
         i1_lo_idx = 65536 + 64 + (3 - cls1)
         init_lo_idx = jnp.where(
-            init_can12, rank_ops.C12_OFF + cls12,
+            init_can12, rank_ops.C10_OFF + cls10,
             jnp.where(init_can8, cls8,
                       jnp.where(init_can3, i3_lo_idx, i1_lo_idx)))
         init_sz_idx = jnp.where(init_can12, i32(1), half) + init_lo_idx
@@ -286,17 +287,17 @@ def _seed_scan(dfm: DeviceFMIndex,
             idx_a = jnp.where(in_dir, sa_idx, idx_a)
         vals = dfm.comb_pairs[jnp.concatenate([idx_a, idx_b])]
         sel_a, sel_b = vals[:B], vals[B:]
-        corr12 = jnp.sum(cls12[:, None] == dfm.c12_corr[None, :],
+        corr10 = jnp.sum(cls10[:, None] == dfm.init_corr[None, :],
                          axis=1, dtype=i32)
         init_sz = jnp.where(init_can12,
-                            sel_b - sel_a - corr12.astype(sel_b.dtype),
+                            sel_b - sel_a - corr10.astype(sel_b.dtype),
                             sel_b)
 
         # ---- INIT step ----
         init_dead = in_init & (init_can12 | init_can8 | init_can3) \
             & (init_sz == 0)
         start_ext = in_init & b1ok & ~init_dead
-        init_jump = jnp.where(init_can12, i32(12),
+        init_jump = jnp.where(init_can12, i32(10),
                               jnp.where(init_can8, i32(8),
                                         jnp.where(init_can3, i32(3),
                                                   i32(1))))
