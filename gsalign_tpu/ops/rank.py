@@ -26,15 +26,37 @@ from gsalign_tpu.index.fmindex import FMIndex, WORDS_PER_BLOCK
 UNION_ROW = 16   # uint32 words per row of the single-char rank table
 T3_ROW_WIDE = 100  # wide fused rows: 64 cp-low + 4 carry words + 32 syms
 # comb_pairs layout offsets (see the field's docstring)
-C10_OFF = 2 * (65536 + 136)            # c10 starts plane (+ sentinel)
-SA_OFF = C10_OFF + 4 ** 10 + 1         # sa_samples (direct indexes only)
+INIT_OFF = 2 * (65536 + 136)           # INIT-order starts plane (+ sentinel)
+# SA placement threshold. Measured A/B on one v5e at 100 Mb (SA plane
+# 800 MB, 4096-lane slabs): the Pallas masked per-row gather costs MORE
+# than the ride-along whole-plane sweep (seed 4.89 s vs 3.94 s) — steady
+# state has ~B/8 lanes entering direct mode per iteration, and ~500 DMA
+# issues/iteration exceed the XLA sweep cost. The split only pays off when
+# the plane is far larger than the per-iteration entry row cost, i.e. the
+# 300 Mbp top of the direct-mode range (SA ~2.4 GB). GSALIGN_SA_SPLIT=1/0
+# forces it for A/B runs.
+SA_SPLIT_BYTES = 1536 * 2 ** 20        # above this the SA leaves comb_pairs
+# INIT jump order is scale-dependent: order 10 (4 MB plane) below this
+# seq_len, order 12 (67 MB plane) above. Every scan iteration sweeps the
+# whole plane (XLA gather cost model), so small genomes want the small
+# plane; large genomes want the longer jump — at 200 Mb a 10-mer averages
+# ~200 occurrences vs ~12 for a 12-mer, and the extra triple steps to
+# uniqueness cost more iterations than the 63 MB/iteration sweep saves
+# (measured: 100 Mb seed 3.24 s order-12 vs 4.14 s order-10).
+INIT12_MIN_SEQLEN = 64 * 2 ** 20
+
+
+def sa_off(order: int) -> int:
+    """comb_pairs offset of the SA ride-along plane (sa_in_comb only)."""
+    return INIT_OFF + 4 ** order + 1
 
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["union", "t3", "t3_major", "l2",
                       "sa_samples", "c64", "t3_exc_pos", "t3_exc_chr",
-                      "comb_pairs", "init_corr", "text_rows"],
-         meta_fields=["seq_len", "primary", "sa_intv", "wide", "direct_ok"])
+                      "comb_pairs", "init_corr", "text_rows", "sa_rows"],
+         meta_fields=["seq_len", "primary", "sa_intv", "wide", "direct_ok",
+                      "sa_in_comb", "init_order"])
 @dataclasses.dataclass(frozen=True)
 class DeviceFMIndex:
     # Rank tables, the device analogue of the reference's interleaved .bwt
@@ -89,11 +111,20 @@ class DeviceFMIndex:
     # at arbitrary word offsets from a flat array were measured ~30x SLOWER
     # than aligned row gathers — keep the duplicated-row layout.
     text_rows: jnp.ndarray    # uint32 [ceil(2N/256), 32] | [1, 1]
+    # Large direct indexes move the full SA OUT of comb_pairs (sa_in_comb
+    # False) into this standalone int32 table (1024-padded for the Pallas
+    # masked per-row gather): riding along in comb made EVERY scan
+    # iteration sweep the whole SA plane (~800 MB at 100 Mb scale), while
+    # only the handful of lanes entering direct mode need a row. [1] dummy
+    # when the SA stays in comb (small genomes) or direct mode is off.
+    sa_rows: jnp.ndarray      # int32 [pad1024(seq_len+1)] | [1]
     seq_len: int
     primary: int
     sa_intv: int
     wide: bool
     direct_ok: bool
+    sa_in_comb: bool
+    init_order: int           # INIT jump k-mer order (10 or 12)
 
     @property
     def rdtype(self):
@@ -158,20 +189,49 @@ class DeviceFMIndex:
         if c12 is None:                    # pre-v5 in-memory index
             from gsalign_tpu.index.fmindex import _build_c12
             c12 = _build_c12(fm.genome.codes_fwd_rc(), fm.seq_len)
-        starts10, steps = _derive_c10(c12[:, 1],
-                                      fm.genome.codes_fwd_rc(), fm.seq_len)
-        corr = np.full(10, -1, dtype=np.int64)
+        import os
+        init_order = 12 if fm.seq_len > INIT12_MIN_SEQLEN else 10
+        env_o = os.environ.get("GSALIGN_INIT_ORDER")
+        if env_o in ("10", "12"):          # A/B override
+            init_order = int(env_o)
+        if init_order == 12:
+            starts_init = c12[:, 0]
+            from gsalign_tpu.index.fmindex import c12_step_keys
+            steps = c12_step_keys(c12)     # lb values of the +1 steps
+        else:
+            starts_init, steps = _derive_c10(
+                c12[:, 1], fm.genome.codes_fwd_rc(), fm.seq_len)
+        corr = np.full(12, -1, dtype=np.int64)
         # a step at lb bumps starts[lb:], i.e. block lb-1's naive size;
         # lb == 0 only shifts the whole table (no block affected)
         keys = steps[steps > 0] - 1
         corr[:keys.shape[0]] = keys
         comb_parts = [c8[:, 0], lut[:, 0], c8[:, 1], lut[:, 1],
-                      starts10, np.asarray([fm.seq_len + 1], np.int64)]
+                      starts_init, np.asarray([fm.seq_len + 1], np.int64)]
+        # SA placement: small direct indexes keep the full SA riding the
+        # per-iteration comb gather (one call, modest sweep); above the
+        # threshold the sweep dominates every scan iteration and the SA
+        # moves to the standalone sa_rows table (Pallas per-row gather in
+        # the scan). GSALIGN_SA_SPLIT=1/0 forces the choice for A/B runs.
+        import os
+        env = os.environ.get("GSALIGN_SA_SPLIT")
+        sa_in_comb = True
         if direct_ok:
-            comb_parts.append(fm.sa_samples)
+            if env in ("0", "1"):
+                sa_in_comb = env == "0"
+            else:
+                sa_in_comb = (fm.seq_len + 1) * 4 <= SA_SPLIT_BYTES
+        if direct_ok:
             sa_field = np.zeros(1, dtype=np.int32)
+            if sa_in_comb:
+                comb_parts.append(fm.sa_samples)
+                sa_rows = np.zeros(1, dtype=np.int32)
+            else:
+                from gsalign_tpu.ops.gather_pallas import pad_table
+                sa_rows = pad_table(fm.sa_samples, dtype=np.int32)
         else:
             sa_field = fm.sa_samples
+            sa_rows = np.zeros(1, dtype=np.int32)
         comb = np.concatenate(comb_parts)
         dfm = DeviceFMIndex(
             union=jnp.asarray(union),
@@ -185,11 +245,14 @@ class DeviceFMIndex:
             comb_pairs=jnp.asarray(comb, dtype=rdt),
             init_corr=jnp.asarray(corr, dtype=jnp.int32),
             text_rows=jnp.asarray(text_rows),
+            sa_rows=jnp.asarray(sa_rows),
             seq_len=int(fm.seq_len),
             primary=int(fm.primary),
             sa_intv=int(fm.sa_intv),
             wide=wide,
             direct_ok=direct_ok,
+            sa_in_comb=sa_in_comb,
+            init_order=init_order,
         )
         fm._device_cache = dfm
         return dfm
@@ -451,7 +514,9 @@ def resolve_sa(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     With a full SA (sa_intv == 1) this is a single gather."""
     if dfm.sa_intv == 1:
         if dfm.direct_ok:
-            return dfm.comb_pairs[SA_OFF + k]
+            if dfm.sa_in_comb:
+                return dfm.comb_pairs[sa_off(dfm.init_order) + k]
+            return dfm.sa_rows[k].astype(dfm.rdtype)
         return dfm.sa_samples[k]
     k = k.astype(dfm.rdtype)
     mask = jnp.asarray(dfm.sa_intv - 1, dfm.rdtype)

@@ -110,7 +110,8 @@ def _extract256(rows: jnp.ndarray, off: jnp.ndarray) -> jnp.ndarray:
 def _meta16(qrow: jnp.ndarray, off: jnp.ndarray):
     """Decode scan metadata for the 16 bases starting at 2-bit-field offset
     `off` (0..255) of [B, 64]-word query windows (pk plane | amb plane):
-    returns (cls12, real3, b1ok, real8, real10).
+    returns (cls12, real3, b1ok, real8, amb_word) — amb_word carries the
+    raw ambiguity bits so the caller can test any INIT order.
 
     cls12 is the 12-mer class of bases (p .. p+11): (3 - base) in ASCENDING
     2-bit fields (fmindex._build_c12 key of the RC 12-mer; the shorter
@@ -140,15 +141,15 @@ def _meta16(qrow: jnp.ndarray, off: jnp.ndarray):
                                              & u32(0x00FF00FF))
     r = (r << u32(16)) | (r >> u32(16))
     cls12 = (r & u32(0xFFFFFF)).astype(i32)
-    real10 = (a & u32(0xFFFFF000)) == 0
     real8 = (a & u32(0xFFFF0000)) == 0
     real3 = (a & u32(0xFC000000)) == 0
     b1ok = (a & u32(0xC0000000)) == 0
-    return cls12, real3, b1ok, real8, real10
+    return cls12, real3, b1ok, real8, a
 
 
 @partial(jax.jit, static_argnames=("min_seed_length", "max_seed_freq",
-                                   "sensitive", "max_out", "init12"))
+                                   "sensitive", "max_out", "init12",
+                                   "sa_mode"))
 def _seed_scan(dfm: DeviceFMIndex,
                q_rows: jnp.ndarray,      # uint32 [n_qrow, 64] (_build_qrows)
                starts: jnp.ndarray,      # int32 [B]
@@ -160,7 +161,14 @@ def _seed_scan(dfm: DeviceFMIndex,
                max_seed_freq: int,
                sensitive: bool,
                max_out: int,
-               init12: bool = True):
+               init12: bool = True,
+               sa_mode: str = "comb"):
+    # sa_mode: how direct-mode lanes resolve their unique occurrence.
+    #   "comb"          SA plane rides the comb_pairs gather (sa_in_comb)
+    #   "xla"           standalone sa_rows, plain XLA gather (mesh runs /
+    #                   Pallas unavailable) — full sweep per iteration
+    #   "pallas"        masked per-row DMA gather, entry lanes only
+    #   "pallas_interp" same, interpreter mode (CPU tests)
     B = starts.shape[0]
     i32 = jnp.int32
     u32 = jnp.uint32
@@ -169,7 +177,8 @@ def _seed_scan(dfm: DeviceFMIndex,
     # INIT-8 is only emission-exact when any sub-8 match is a guaranteed
     # miss; direct extension needs a one-gather SA and int32 positions
     use8 = min_seed_length > 8
-    use10 = min_seed_length > 10 and init12
+    order = dfm.init_order            # INIT jump length (10 or 12, static)
+    use_init = min_seed_length > order and init12
     direct = dfm.direct_ok
     n_sa = dfm.seq_len + 1 if direct else dfm.sa_samples.shape[0]
     n_trow = dfm.text_rows.shape[0]
@@ -238,22 +247,26 @@ def _seed_scan(dfm: DeviceFMIndex,
         look_safe = jnp.clip(look, 0, n_qrow * 256 - 1)
         q_cmp = jnp.clip(ext_pos, 0, n_qrow * 256 - 1)   # direct compare pos
         qrows2 = q_rows[jnp.concatenate([look_safe >> 8, q_cmp >> 8])]
-        cls12, real3, b1ok, real8, real10 = _meta16(qrows2[:B],
-                                                    look_safe & 255)
-        cls10 = cls12 & 0xFFFFF
+        cls12, real3, b1ok, real8, amb_w = _meta16(qrows2[:B],
+                                                   look_safe & 255)
+        cls_init = cls12 & ((1 << (2 * order)) - 1)
         cls8 = cls12 & 0xFFFF
         cls3 = cls12 & 63       # k-mer class prefixes nest (_meta16)
         cls1 = cls12 & 3
         half = i32(65536 + 136)
+        real_init = (amb_w &
+                     u32((0xFFFFFFFF << (32 - 2 * order))
+                         & 0xFFFFFFFF)) == 0
 
         # ---- INIT class choice ----
         init_amb = ~b1ok
-        # INIT-10/INIT-8: jump 10 (8) bases via the c10 (c8) table; a dead
-        # k-mer can only be a miss (len < k < min_seed), advancing the
-        # cursor by one — exactly the single-step outcome. INIT-3 likewise
-        # via the C64 range.
-        if use10:
-            init_can12 = b1ok & real10 & (cursor + 9 < ext_stops)
+        # INIT-order/INIT-8: jump `order` (8) bases via the init (c8)
+        # table; a dead k-mer can only be a miss (len < k < min_seed),
+        # advancing the cursor by one — exactly the single-step outcome.
+        # INIT-3 likewise via the C64 range.
+        if use_init:
+            init_can12 = b1ok & real_init & (cursor + (order - 1)
+                                             < ext_stops)
         else:
             init_can12 = jnp.zeros(B, jnp.bool_)
         if use8:
@@ -274,30 +287,31 @@ def _seed_scan(dfm: DeviceFMIndex,
         i3_lo_idx = 65536 + cls3
         i1_lo_idx = 65536 + 64 + (3 - cls1)
         init_lo_idx = jnp.where(
-            init_can12, rank_ops.C10_OFF + cls10,
+            init_can12, rank_ops.INIT_OFF + cls_init,
             jnp.where(init_can8, cls8,
                       jnp.where(init_can3, i3_lo_idx, i1_lo_idx)))
         init_sz_idx = jnp.where(init_can12, i32(1), half) + init_lo_idx
         ext_lo_idx = jnp.where(can3, i3_lo_idx, i1_lo_idx)
         idx_a = jnp.where(in_init, init_lo_idx, ext_lo_idx)
         idx_b = jnp.where(in_init, init_sz_idx, idx_a)
-        if direct:
+        if direct and sa_mode == "comb":
             # the direct path's SA lookup rides the same gather kernel
-            sa_idx = rank_ops.SA_OFF + jnp.clip(ik1, 0, n_sa - 1).astype(i32)
+            sa_idx = rank_ops.sa_off(order) \
+                + jnp.clip(ik1, 0, n_sa - 1).astype(i32)
             idx_a = jnp.where(in_dir, sa_idx, idx_a)
         vals = dfm.comb_pairs[jnp.concatenate([idx_a, idx_b])]
         sel_a, sel_b = vals[:B], vals[B:]
-        corr10 = jnp.sum(cls10[:, None] == dfm.init_corr[None, :],
+        corr_n = jnp.sum(cls_init[:, None] == dfm.init_corr[None, :],
                          axis=1, dtype=i32)
         init_sz = jnp.where(init_can12,
-                            sel_b - sel_a - corr10.astype(sel_b.dtype),
+                            sel_b - sel_a - corr_n.astype(sel_b.dtype),
                             sel_b)
 
         # ---- INIT step ----
         init_dead = in_init & (init_can12 | init_can8 | init_can3) \
             & (init_sz == 0)
         start_ext = in_init & b1ok & ~init_dead
-        init_jump = jnp.where(init_can12, i32(10),
+        init_jump = jnp.where(init_can12, i32(order),
                               jnp.where(init_can8, i32(8),
                                         jnp.where(init_can3, i32(3),
                                                   i32(1))))
@@ -321,8 +335,39 @@ def _seed_scan(dfm: DeviceFMIndex,
         # ---- DIRECT step: unique-interval lanes compare text to query ----
         if direct:
             sl = i32(seq_len)
-            rc_pos = sel_a.astype(i32)        # [B] SA lookup (direct lanes)
-            dir_off = jnp.where(in_dir & ~s["dir_set"],
+            need = in_dir & ~s["dir_set"]     # lanes resolving their SA now
+            if sa_mode == "comb":
+                rc_pos = sel_a.astype(i32)    # rode the comb gather
+                enter = need
+            elif sa_mode == "xla":
+                # split-SA fallback (mesh runs / no Pallas): plain gather
+                rc_pos = dfm.sa_rows[jnp.clip(ik1, 0, n_sa - 1)
+                                     .astype(i32)]
+                enter = need
+            else:
+                # Pallas masked per-row DMA gather: pay ~1.7 us per lane
+                # ENTERING direct mode this iteration instead of a whole-
+                # SA-plane sweep. Needy lanes compact into K slots (one-hot
+                # sum, not scatter); overflow lanes stall one iteration and
+                # retry (enter stays False, so no state advances).
+                K = min(_SA_GATHER_K, B)
+                posn = jnp.cumsum(need.astype(i32)) - 1          # [B]
+                slot = jnp.where(need & (posn < K), posn, -1)
+                hotK = slot[:, None] == jnp.arange(K, dtype=i32)[None, :]
+                ikc = jnp.clip(ik1, 0, n_sa - 1).astype(i32)
+                idxK = jnp.sum(jnp.where(hotK, ikc[:, None], 0),
+                               axis=0, dtype=i32)
+                n_need = jnp.sum(need, dtype=i32)
+                idxK = jnp.where(jnp.arange(K, dtype=i32)
+                                 < jnp.minimum(n_need, i32(K)), idxK, -1)
+                from gsalign_tpu.ops.gather_pallas import masked_row_gather
+                resK = masked_row_gather(
+                    dfm.sa_rows, idxK,
+                    interpret=(sa_mode == "pallas_interp"))
+                enter = need & (slot >= 0)
+                rc_pos = resK[jnp.clip(posn, 0, K - 1)]
+            in_dir_eff = in_dir & (s["dir_set"] | enter)
+            dir_off = jnp.where(enter,
                                 sl - rc_pos - ext_pos, s["dir_off"])
             p = dir_off + ext_pos                 # text pos of next compare
             q = ext_pos
@@ -352,11 +397,12 @@ def _seed_scan(dfm: DeviceFMIndex,
             bound_dir = reach & (lim_q <= jnp.minimum(lim_t, 256))
             tdead_dir = reach & ~bound_dir & (lim_t <= 256)
             cont_dir = reach & ~bound_dir & ~tdead_dir
-            fin_dir = in_dir & (~reach | bound_dir | tdead_dir)
-            dir_adv = in_dir & cont_dir
+            fin_dir = in_dir_eff & (~reach | bound_dir | tdead_dir)
+            dir_adv = in_dir_eff & cont_dir
             dir_ext_pos = ext_pos + adv
         else:
             dir_off = s["dir_off"]
+            in_dir_eff = in_dir
             fin_dir = jnp.zeros(B, jnp.bool_)
             dir_adv = jnp.zeros(B, jnp.bool_)
             bound_dir = jnp.zeros(B, jnp.bool_)
@@ -429,7 +475,7 @@ def _seed_scan(dfm: DeviceFMIndex,
                            jnp.where(tri_miss, True,
                                      jnp.where(ext_ok, False, tri_failed)))
         new_dir_set = jnp.where(start_ext | finalize, False,
-                                in_dir | s["dir_set"])
+                                in_dir_eff | s["dir_set"])
 
         was_done = lane_done(phase, cursor)
         now_done = lane_done(new_phase, new_cursor)
@@ -477,8 +523,16 @@ def _next_pow2(n: int, floor: int = 64) -> int:
     return m
 
 
-MAX_LANES_PER_CALL = 4096   # keep single device calls well under the remote
-                            # execution deadline and bound buffer memory
+import os
+
+# Lane slab cap per device call. Larger slabs amortize the per-ITERATION
+# table sweeps (every XLA gather re-reads its whole table per call, and
+# iteration count ~ the max lane trajectory, roughly independent of B), so
+# fewer slabs = proportionally less total sweep; the ceiling is the remote
+# execution deadline per device call and emit-buffer memory.
+MAX_LANES_PER_CALL = int(os.environ.get("GSALIGN_MAX_LANES", 4096))
+_SA_GATHER_K = 512          # split-SA compaction slots/iteration (tests
+                            # shrink it to exercise the stall-retry path)
 
 
 def _run_scan(dfm, q_rows, starts, emit_stops, ext_stops, hard_stops,
@@ -554,7 +608,24 @@ def _launch_scan(dfm, q_rows, starts, emit_stops, ext_stops,
     return _seed_scan(
         dfm, q_rows, st, em, ex, hd,
         min_seed_length=min_seed_length, max_seed_freq=max_seed_freq,
-        sensitive=sensitive, max_out=max_out, init12=init12)
+        sensitive=sensitive, max_out=max_out, init12=init12,
+        sa_mode=_pick_sa_mode(dfm, mesh))
+
+
+def _pick_sa_mode(dfm, mesh) -> str:
+    """Choose the scan's direct-mode SA resolution path (see _seed_scan).
+    Split-SA indexes (rank.from_host moved the SA out of comb_pairs) use
+    the Pallas masked gather when it is usable: single-device (a pallas
+    call does not GSPMD-partition) on a TPU backend that passes the probe,
+    or interpreter mode on CPU (so tests exercise the kernel logic)."""
+    if not dfm.direct_ok or dfm.sa_in_comb:
+        return "comb"
+    if mesh is not None and mesh.devices.size > 1:
+        return "xla"
+    from gsalign_tpu.ops import gather_pallas
+    if jax.default_backend() == "tpu":
+        return "pallas" if gather_pallas.probe() else "xla"
+    return "pallas_interp"
 
 
 def _fetch_scan(B, raw, max_out, starts):

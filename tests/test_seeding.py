@@ -117,3 +117,30 @@ def test_seeding_poisoned_segments_match_naive(slack, n_segments):
     expect = _sorted(naive_lmem_seeds(
         text, qry, min_seed_length=12, max_seed_freq=100, chunk=1000))
     assert got == expect
+
+
+@pytest.mark.parametrize("gather_k", [8, 64])
+def test_seeding_split_sa_pallas_matches_naive(monkeypatch, gather_k):
+    """Split-SA direct index (SA out of comb_pairs, Pallas masked gather in
+    interpreter mode on CPU): seed sets must match the naive scan, including
+    when the per-iteration slot budget K is tiny so lanes entering direct
+    mode overflow the compaction and take the stall-retry path."""
+    from gsalign_tpu.ops import seeding as seeding_mod
+    monkeypatch.setenv("GSALIGN_SA_SPLIT", "1")
+    monkeypatch.setattr(seeding_mod, "_SA_GATHER_K", gather_k)
+    rng = np.random.default_rng(77)
+    ref = random_genome(rng, 2500)
+    g = Genome(names=["c"], lengths=np.asarray([len(ref)]),
+               offsets=np.asarray([0]), holes=[], codes_fwd=ref)
+    fm = build_fmindex(g, sa_intv=1, prefer_device=False)   # direct mode
+    dfm = DeviceFMIndex.from_host(fm)
+    assert dfm.direct_ok and not dfm.sa_in_comb
+    qry = mutate(ref, rng, sub_rate=0.02)
+
+    q_pos, r_pos, length = find_seeds(
+        dfm, qry, min_seed_length=12, max_seed_freq=100, chunk=500)
+    got = _sorted(zip(q_pos.tolist(), r_pos.tolist(), length.tolist()))
+    text = fm.genome.codes_fwd_rc()
+    expect = _sorted(naive_lmem_seeds(
+        text, qry, min_seed_length=12, max_seed_freq=100, chunk=500))
+    assert got == expect
