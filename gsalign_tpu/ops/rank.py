@@ -101,9 +101,10 @@ class DeviceFMIndex:
     # array at SA_OFF so the scan's occurrence-resolution gather rides the
     # same kernel (the sa_samples field is then a [1] dummy).
     comb_pairs: jnp.ndarray   # rdtype [SA_OFF (+ seq_len+1 when direct)]
-    # 10-mer keys g whose block size needs a -1 vs starts[g+1]-starts[g]
-    # (short-suffix steps at g+1; duplicates legal), padded with -1
-    init_corr: jnp.ndarray    # int32 [10]
+    # INIT-order-mer keys g whose block size needs a -1 vs
+    # starts[g+1]-starts[g] (short-suffix steps at g+1; duplicates legal),
+    # padded with -1; room for the up-to-11 step keys at order 12
+    init_corr: jnp.ndarray    # int64 [12]
     # Overlapping 512-base windows of the packed fwd+RC text at stride 256:
     # row r = words [16r, 16r+32). Direct-extension seeding (unique-interval
     # lanes compare text to query 256 bases per gather) reads these; a [1,1]
@@ -213,7 +214,6 @@ class DeviceFMIndex:
         # threshold the sweep dominates every scan iteration and the SA
         # moves to the standalone sa_rows table (Pallas per-row gather in
         # the scan). GSALIGN_SA_SPLIT=1/0 forces the choice for A/B runs.
-        import os
         env = os.environ.get("GSALIGN_SA_SPLIT")
         sa_in_comb = True
         if direct_ok:

@@ -138,3 +138,105 @@ def test_kmer_vector_reference_quirks():
     # lowercase 'n' does NOT interrupt (flows into ids as code 4)
     seq_low = np.frombuffer(b"ACGTnACGTA", dtype=np.uint8)
     assert len(kmer_vector(seq_low)) == 6
+
+
+def _redundant_sweep_naive(blocks, chr_scores, chr_index, cfg, axis):
+    """Plain O(n^2) transliteration of RemoveRedundantAlnBlocks
+    (src/GSAlign.cpp:415-471) — oracle for the linked-list sweep."""
+    from gsalign_tpu.genome.coords import reverse_ref_coordinate
+    from gsalign_tpu.pipeline.blocks import _dup_chr_score, remove_bad_blocks
+    if axis == 1:
+        blocks = sorted(blocks, key=lambda b: (int(b.q_pos[0]), -b.score))
+        heads = [int(b.q_pos[0]) for b in blocks]
+        tails = [int(b.q_pos[-1] + b.q_len[-1] - 1) for b in blocks]
+    else:
+        blocks = sorted(blocks, key=lambda b: (int(b.r_pos[0]), -b.score))
+        heads = [int(b.r_pos[0]) for b in blocks]
+        tails = [int(b.r_pos[-1] + b.r_len[-1] - 1) for b in blocks]
+    chrv = chr_index.chr_of(
+        np.asarray([b.r_pos[0] for b in blocks], dtype=np.int64)).tolist()
+    if axis == 2:
+        for k in range(len(blocks)):
+            if heads[k] >= chr_index.size:
+                heads[k], tails[k] = reverse_ref_coordinate(
+                    chr_index.two_size, heads[k], tails[k])
+    n = len(blocks)
+    for i in range(n):
+        bi = blocks[i]
+        if bi.score == 0:
+            continue
+        head1, tail1, chr1 = heads[i], tails[i], chrv[i]
+        for j in range(i + 1, n):
+            bj = blocks[j]
+            if bj.score == 0:
+                continue
+            head2, tail2 = heads[j], tails[j]
+            if axis == 1 and head1 == head2 and tail1 == tail2:
+                bi.b_dup = True
+                bj.score = 0
+                continue
+            chr2 = chrv[j]
+            if head2 < tail1:
+                overlap = (tail1 - head2) if tail2 > tail1 else (tail2 - head2)
+                f1 = overlap / (tail1 - head1)
+                f2 = overlap / (tail2 - head2)
+                dominated2 = cfg.one_on_one and \
+                    _dup_chr_score(chr_scores[chr2], chr_scores[chr1])
+                dominated1 = cfg.one_on_one and \
+                    _dup_chr_score(chr_scores[chr1], chr_scores[chr2])
+                if (f1 > f2 and f1 >= cfg.dup_overlap_frac) or dominated2:
+                    bi.score = 0
+                    break
+                if (f2 > f1 and f2 >= cfg.dup_overlap_frac) or dominated1:
+                    bj.score = 0
+            else:
+                break
+    return remove_bad_blocks(blocks)
+
+
+def test_redundant_blocks_linkedlist_matches_naive_sweep():
+    """Randomized dense-overlap block sets: the skip-list sweep must
+    reproduce the plain quadratic reference sweep exactly (scores, b_dup,
+    order), including one_on_one mode."""
+    import copy
+    import dataclasses as _dc
+    from gsalign_tpu.genome.packing import Genome
+    from gsalign_tpu.genome.coords import ChrLocIndex
+    g = Genome(names=["c1", "c2"], lengths=np.asarray([60000, 60000]),
+               offsets=np.asarray([0, 60000]), holes=[],
+               codes_fwd=np.zeros(120000, dtype=np.uint8))
+    ci = ChrLocIndex(g)
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(2, 60))
+        blocks = []
+        for _ in range(n):
+            q0 = int(rng.integers(0, 50000))
+            ln = int(rng.integers(200, 4000))
+            r0 = int(rng.integers(0, 230000))  # spans both strands/chrs
+            blk = _mk_block([[q0, r0, ln]])
+            blk.score = ln
+            blocks.append(blk)
+        # duplicate a few exactly (axis-1 b_dup path)
+        for k in range(min(3, n)):
+            src = blocks[int(rng.integers(0, n))]
+            dup = _mk_block([[int(src.q_pos[0]),
+                              int(rng.integers(0, 230000)),
+                              int(src.q_len[0])]])
+            dup.score = src.score
+            blocks.append(dup)
+        chr_scores = np.asarray([int(rng.integers(0, 10000)),
+                                 int(rng.integers(0, 10000))])
+        for axis in (1, 2):
+            for one in (False, True):
+                cfg = _dc.replace(CFG, one_on_one=one)
+                b1 = copy.deepcopy(blocks)
+                b2 = copy.deepcopy(blocks)
+                got = blk_ops.remove_redundant_blocks(
+                    b1, chr_scores, ci, cfg, axis)
+                want = _redundant_sweep_naive(
+                    b2, chr_scores, ci, cfg, axis)
+                assert [(int(b.q_pos[0]), int(b.r_pos[0]), b.score, b.b_dup)
+                        for b in got] == \
+                       [(int(b.q_pos[0]), int(b.r_pos[0]), b.score, b.b_dup)
+                        for b in want], (trial, axis, one)

@@ -1,3 +1,4 @@
+import jax
 import numpy as np
 import pytest
 
@@ -128,6 +129,9 @@ def test_seeding_split_sa_pallas_matches_naive(monkeypatch, gather_k):
     from gsalign_tpu.ops import seeding as seeding_mod
     monkeypatch.setenv("GSALIGN_SA_SPLIT", "1")
     monkeypatch.setattr(seeding_mod, "_SA_GATHER_K", gather_k)
+    # _SA_GATHER_K is read at trace time inside the jitted scan; clear the
+    # jit cache so each parametrization actually compiles with its own K.
+    jax.clear_caches()
     rng = np.random.default_rng(77)
     ref = random_genome(rng, 2500)
     g = Genome(names=["c"], lengths=np.asarray([len(ref)]),

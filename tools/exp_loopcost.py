@@ -103,7 +103,8 @@ def main():
         idx7 = jnp.concatenate([cls8, 65536 + cls3, 65536 + 64 + b1c,
                                 half + cls8, half + 65536 + cls3,
                                 half + 65536 + 64 + b1c,
-                                rank_ops.SA_OFF + (look % (sl - 200))])
+                                rank_ops.sa_off(dfm.init_order)
+                                + (look % (sl - 200))])
         vals = dfm.comb_pairs[idx7]
         k2 = (look.astype(i32) % (sl - 200)).astype(dfm.rdtype)
         cnt = rank_ops.occ_t3(dfm, jnp.concatenate([k2, k2 + 100]),
