@@ -28,21 +28,38 @@ import sys
 import time
 
 BENCH_DIR = "/tmp/gsalign_bench"
-# C reference wall-clock, -t 4, same generated pairs, this host (BASELINE.md)
+# C reference wall-clock fallbacks, -t 4, same generated pairs, this host
+# (BASELINE.md). tools/measure_baseline.py writes per-tag
+# ref_baseline.json markers that OVERRIDE these when present.
 CONFIGS = [
     ("ecoli_4.6mb", 4_600_000, 0.21),
     ("yeast_12mb", 12_000_000, 1.09),
 ]
 if not os.environ.get("GSALIGN_BENCH_SMALL"):
-    # the 100 Mb config is the headline scale (the regime the TPU build is
-    # designed for); a cold datagen + index build is ~4 min, acceptable for
-    # an unattended run (rows stream as they complete, so earlier configs
-    # survive even if this one is cut short)
+    # the 100 Mb+ configs are the headline scales (the regime the TPU
+    # build is designed for); a cold datagen + index build is minutes,
+    # acceptable for an unattended run (rows stream as they complete, so
+    # earlier configs survive even if a later one is cut short)
     CONFIGS.append(("celegans_100mb", 100_000_000, 15.8))
+    CONFIGS.append(("human_250mb", 250_000_000, None))
 _only = os.environ.get("GSALIGN_BENCH_ONLY")
 if _only:                       # one-config runs for A/B measurements
     CONFIGS = [c for c in CONFIGS if c[0] == _only]
-REPS = {"ecoli_4.6mb": 5, "yeast_12mb": 3, "celegans_100mb": 3}
+REPS = {"ecoli_4.6mb": 5, "yeast_12mb": 3, "celegans_100mb": 3,
+        "human_250mb": 2}
+
+
+def measured_baseline(tag: str):
+    """C-reference seconds measured in-environment by
+    tools/measure_baseline.py, if recorded."""
+    marker = os.path.join(BENCH_DIR, tag, "ref_baseline.json")
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                return json.load(fh).get("align_seconds")
+        except (ValueError, OSError):
+            return None
+    return None
 
 
 def ensure_data(tag: str, total_len: int):
@@ -59,9 +76,14 @@ def ensure_data(tag: str, total_len: int):
     return d, ref_fa, qry_fa
 
 
-def dp_gcells(dp_fn, L=128, B=2048):
-    """DP kernel microbench including traceback (north-star Gcells/s)."""
+def dp_gcells(dp_fn, L=128, B=2048, iters=4):
+    """DP kernel microbench including traceback (north-star Gcells/s).
+
+    Times `iters` chained device calls with block_until_ready (NOT a
+    per-call np.asarray: a device->host fetch costs a flat ~37 ms tunnel
+    round trip here, which used to dominate and misreport the kernel)."""
     import numpy as np
+    import jax
     import jax.numpy as jnp
     rng = np.random.default_rng(0)
     q = rng.integers(0, 4, (B, L)).astype(np.int32)
@@ -71,14 +93,14 @@ def dp_gcells(dp_fn, L=128, B=2048):
     ql = np.full(B, L, np.int32)
     args = (jnp.asarray(q), jnp.asarray(t), jnp.asarray(ql),
             jnp.asarray(ql), L)
-    import numpy as _np
-    _np.asarray(dp_fn(*args))       # warm
+    jax.block_until_ready(dp_fn(*args))       # warm
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        _np.asarray(dp_fn(*args))
+        outs = [dp_fn(*args) for _ in range(iters)]
+        jax.block_until_ready(outs)
         best = min(best, time.time() - t0)
-    return float(B) * L * L / best / 1e9
+    return float(B) * L * L * iters / best / 1e9
 
 
 def main():
@@ -123,11 +145,13 @@ def main():
                 fm, qry_records, cfg, output_prefix=out, verbose=False)
             best = min(best, time.time() - t0)
 
+        eff_baseline = measured_baseline(tag) or baseline_s
         row = {
             "metric": f"{tag}_align_wallclock",
             "value": round(best, 3),
             "unit": "seconds",
-            "vs_baseline": round(baseline_s / best, 4),
+            "vs_baseline": (round(eff_baseline / best, 4)
+                            if eff_baseline else None),
             "aligned_bp_per_s": round(stats.total_alignment_length / best),
             "ani_pct": round(stats.ani, 2),
             "alignments": stats.local_alignment_num,

@@ -135,8 +135,10 @@ def main(argv=None) -> int:
             updates["output_format"] = v
         elif a == "-o":
             output_prefix = nxt()
-        elif a in ("-d", "-debug", "-gp", "-obr"):
-            if a in ("-gp", "-obr"):
+        elif a == "-gp":
+            updates["gnuplot_path"] = nxt()
+        elif a in ("-d", "-debug", "-obr"):
+            if a == "-obr":
                 nxt()
         else:
             print(f"Warning! Unknown parameter: {a}", file=sys.stderr)

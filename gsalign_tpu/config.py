@@ -26,6 +26,7 @@ class AlignConfig:
     allow_duplication: bool = True      # -unique sets False
     emit_vcf: bool = True               # -no_vcf sets False
     show_plot: bool = False             # -dp
+    gnuplot_path: str = ""              # -gp (src/main.cpp:285; "" = whereis)
 
     # --- pipeline constants (reference #defines) ---
     max_seed_freq: int = 100            # src/bwt_search.cpp:3

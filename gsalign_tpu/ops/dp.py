@@ -271,6 +271,12 @@ def align_fragments(ref_frags, qry_frags, bucket_sizes=(64, 128, 256, 512,
     # gap-problem counts
     flat = (jnp.concatenate([d.reshape(-1) for _, d in pending])
             if len(pending) > 1 else pending[0][1].reshape(-1))
+    try:
+        # queue the host copy behind the compute so np.asarray waits on
+        # in-flight data instead of paying its own tunnel round trip
+        flat.copy_to_host_async()
+    except Exception:
+        pass
     flat_h = np.asarray(flat)
     off = 0
     for part, dev_ops in pending:

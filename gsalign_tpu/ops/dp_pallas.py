@@ -7,6 +7,14 @@ u/v/x/y difference rows AND the whole direction matrix stay in VMEM, and
 only the op codes leave the chip — the direction matrix (the O(L^2)
 traffic of the scan path) never touches HBM.
 
+Kernel-internal direction encoding (4 bits, unlike ksw2's 5): dmain in
+{0,1,2} on bits 0-1, the x>0 (E-continue) bit on bit 2, the y>0
+(F-continue) bit on bit 3 — ksw2 skips bit 2 (src/ksw2_alignment.cpp:
+d = 0x08/0x10), but its backtrack only ever tests "bit for state s", so
+the compact layout is behaviorally identical and lets TWO wavefronts pack
+into one int8 VMEM cell (low nibble = even r, high = odd r). That halves
+the O(L^2) scratch and lifts the in-VMEM bucket bound to L = 256.
+
 Mosaic-friendly constructions (this toolchain rejects SMEM scalar-vector
 stacks, per-lane scatters/gathers, and any int64 in the kernel — see
 CLAUDE.md):
@@ -15,17 +23,20 @@ CLAUDE.md):
    slice with a scalar start shared by the tile (wavefront index r is
    global: rows past a problem's last anti-diagonal have an empty band);
  - per-problem lengths are ordinary VMEM vector inputs;
+ - the forward loop processes wavefront PAIRS (2g, 2g+1), carrying the
+   even wavefront's directions in registers and storing one packed
+   [L, TB] int8 plane per pair — one store per two wavefronts;
  - the traceback runs on a GLOBAL anti-diagonal schedule: wavefront r
    decreases one per step and a problem acts only when its i+j == r (an
    M-step skips a wavefront, so the problem idles one step and emits PAD,
-   which the host strips anyway). The per-problem direction byte is a
-   masked sublane reduction over the wavefront row — no per-lane gather.
-   Tail runs (one index exhausted) follow the same schedule since D/I
-   steps decrement i+j by exactly one.
+   which the host strips anyway). The per-problem direction nibble is a
+   masked sublane reduction over the packed wavefront row — no per-lane
+   gather. Tail runs (one index exhausted) follow the same schedule since
+   D/I steps decrement i+j by exactly one.
 
-Restriction: the direction matrix scratch is (2L-1, L, TB) int8 in VMEM,
-so this kernel serves buckets with L <= 160; larger problems use the
-lax.scan path (ops/dp.py).
+Restriction: the packed direction cube is (L, L, TB) int8 in VMEM, so
+this kernel serves buckets with L <= MAX_L = 256; larger problems use the
+lax.scan path (ops/dp.py) via make_hybrid_dp_fn.
 """
 
 from __future__ import annotations
@@ -45,7 +56,7 @@ MATCH = 1
 MISMATCH = -1
 
 TB = 128          # problems per tile (lane axis)
-MAX_L = 160       # d scratch (2L-1, L, TB) int8 must fit VMEM
+MAX_L = 256       # packed d scratch (L, L, TB) int8 must fit VMEM
 
 
 def _n_steps(L: int) -> int:
@@ -60,7 +71,7 @@ def _dp_kernel(q_ref, t_ref, ql_ref, tl_ref, ops_ref,
     t_ref: [L, TB]  ksw-target columns
     ql_ref/tl_ref: [1, TB] int32 lengths
     ops_ref: [NT, TB] int32 output, reverse-order ops (PAD-interleaved)
-    scratch: u/v/x/y [L, TB] int32; d [2L-1, L, TB] int8
+    scratch: u/v/x/y [L, TB] int32; packed d [L, L, TB] int8
     """
     i32 = jnp.int32
     zeros = jnp.zeros((L, TB), i32)
@@ -74,7 +85,8 @@ def _dp_kernel(q_ref, t_ref, ql_ref, tl_ref, ops_ref,
     t_codes = t_ref[:]                  # [L, TB]
     t_idx = jax.lax.broadcasted_iota(i32, (L, TB), 0)
 
-    def fwd_body(r, _):
+    def wavefront(r):
+        """One anti-diagonal update; returns its 4-bit direction plane."""
         u = u_ref[:]
         v = v_ref[:]
         x = x_ref[:]
@@ -117,19 +129,27 @@ def _dp_kernel(q_ref, t_ref, ql_ref, tl_ref, ops_ref,
         b2 = b_ - z2
         x_new = jnp.maximum(a2, i32(0))
         y_new = jnp.maximum(b2, i32(0))
-        d = d | jnp.where(a2 > 0, i32(8), i32(0))
-        d = d | jnp.where(b2 > 0, i32(0x10), i32(0))
+        d = d | jnp.where(a2 > 0, i32(4), i32(0))
+        d = d | jnp.where(b2 > 0, i32(8), i32(0))
 
         in_band = (t_idx >= st0) & (t_idx <= en0)
         u_ref[:] = jnp.where(in_band, u_new, u)
         v_ref[:] = jnp.where(in_band, v_new, v)
         x_ref[:] = jnp.where(in_band, x_new, x)
         y_ref[:] = jnp.where(in_band, y_new, y)
-        d_ref[r] = jnp.where(in_band, d, i32(0)).astype(jnp.int8)
+        return jnp.where(in_band, d, i32(0))
+
+    def fwd_body(g, _):
+        # wavefront pair (2g, 2g+1): one packed int8 store per pair.
+        # r = 2L-1 (only reached via the final pad slot) has an empty band
+        # everywhere (r > ql+tl-2 for ql,tl <= L), so computing it is
+        # harmless and keeps the loop rectangular.
+        d_even = wavefront(i32(2) * g)
+        d_odd = wavefront(i32(2) * g + i32(1))
+        d_ref[g] = (d_even | (d_odd << i32(4))).astype(jnp.int8)
         return i32(0)
 
-    jax.lax.fori_loop(i32(0), i32(2 * L - 1), fwd_body, i32(0),
-                      unroll=False)
+    jax.lax.fori_loop(i32(0), i32(L), fwd_body, i32(0))
 
     # ---- traceback on the global anti-diagonal schedule ----
     NT = _n_steps(L)
@@ -142,16 +162,17 @@ def _dp_kernel(q_ref, t_ref, ql_ref, tl_ref, ops_ref,
         both = (ii >= 0) & (jj >= 0)
         act = ((ii + jj) == r) & ((ii >= 0) | (jj >= 0))
 
-        row = d_ref[jnp.maximum(r, i32(0))]      # [L, TB] int8
+        row = d_ref[jnp.maximum(r >> 1, i32(0))]  # [L, TB] packed int8
         pick = t_idx == jnp.clip(ii, i32(0), i32(L - 1))
         tmp = jnp.sum(jnp.where(pick, row.astype(i32), i32(0)),
                       axis=0, keepdims=True, dtype=i32)   # [1, TB]
+        tmp = (tmp >> ((r & i32(1)) * i32(4))) & i32(0xF)  # nibble of r
         tmp = jnp.where(act & both, tmp, i32(0))
 
-        s1 = jnp.where(st == 0, tmp & i32(7),
-                       jnp.where(((tmp >> (st + i32(2))) & i32(1)) == 0,
+        s1 = jnp.where(st == 0, tmp & i32(3),
+                       jnp.where(((tmp >> (st + i32(1))) & i32(1)) == 0,
                                  i32(0), st))
-        s2 = jnp.where(s1 == 0, tmp & i32(7), s1)
+        s2 = jnp.where(s1 == 0, tmp & i32(3), s1)
         is_m = s2 == 0
         is_d = (s2 == 1) | (s2 == 3)
         op_main = jnp.where(is_m, i32(OP_M),
@@ -178,8 +199,8 @@ def _dp_kernel(q_ref, t_ref, ql_ref, tl_ref, ops_ref,
     jj0 = (ql - i32(1))[None, :]
     st0_ = jnp.zeros((1, TB), i32)
     buf0 = jnp.full((8, TB), i32(OP_PAD), i32)
-    jax.lax.fori_loop(i32(0), i32(NT), tb_body, (ii0, jj0, st0_, buf0),
-                      unroll=False)
+    jax.lax.fori_loop(i32(0), i32(NT), tb_body,
+                      (ii0, jj0, st0_, buf0))
 
 
 @partial(jax.jit, static_argnames=("L", "interpret"))
@@ -232,7 +253,7 @@ def dp_align_batch_pallas(q_codes, t_codes, ql, tl, L: int,
             pltpu.VMEM((L, TB), jnp.int32),
             pltpu.VMEM((L, TB), jnp.int32),
             pltpu.VMEM((L, TB), jnp.int32),
-            pltpu.VMEM((2 * L - 1, L, TB), jnp.int8),
+            pltpu.VMEM((L, L, TB), jnp.int8),
         ],
     )
     ops = pl.pallas_call(

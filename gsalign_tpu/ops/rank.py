@@ -254,6 +254,12 @@ class DeviceFMIndex:
             sa_in_comb=sa_in_comb,
             init_order=init_order,
         )
+        if fm.sa_intv == 1:
+            # full-SA index: keep a HOST view of the SA so hit expansion
+            # resolves ranks with a numpy gather instead of a device round
+            # trip (seeding._expand_hits). Not a dataclass/pytree field —
+            # jit tracing and sharding must not see it.
+            object.__setattr__(dfm, "_host_sa", np.asarray(fm.sa_samples))
         fm._device_cache = dfm
         return dfm
 

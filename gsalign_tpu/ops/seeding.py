@@ -495,11 +495,13 @@ def _seed_scan(dfm: DeviceFMIndex,
         )
 
     final = jax.lax.while_loop(cond, body, init_state)
-    # two device arrays -> two host fetches per slab (each device->host
-    # transfer pays a full tunnel round trip): per-lane scalars ride one
-    # [B, 4] array, and the packed hit planes are stacked ONCE post-loop
-    # into a single u32 [3 or 4, B, max_out] (k0 split into lo/hi words
-    # on the wide path)
+    # three result arrays, all fetched with ONE host round trip (the
+    # launcher issues copy_to_host_async on each; the tunnel's ~37 ms
+    # per-np.asarray latency applies once, not per array): per-lane
+    # scalars ride one [B, 4] array, (qpos|len, k0) share a u32
+    # [2 or 3, B, max_out] stack (k0 split into lo/hi words on the wide
+    # path), and freq stays its own int8 plane (stacking it into the u32
+    # planes quadrupled its transfer bytes)
     meta = jnp.stack([final["out_n"], final["cursor"],
                       final["poison"], final["finish_iter"]],
                      axis=1)                                 # [B, 4] i32
@@ -511,9 +513,8 @@ def _seed_scan(dfm: DeviceFMIndex,
     else:
         k0_planes = [k0.view(jnp.uint32) if k0.dtype == jnp.int32
                      else k0.astype(u32)]
-    planes = jnp.stack([final["out_meta"]] + k0_planes
-                       + [final["out_fr"].astype(u32)])
-    return planes, meta
+    mk = jnp.stack([final["out_meta"].astype(u32)] + k0_planes)
+    return meta, mk, final["out_fr"]
 
 
 def _next_pow2(n: int, floor: int = 64) -> int:
@@ -545,7 +546,9 @@ def _run_scan(dfm, q_rows, starts, emit_stops, ext_stops, hard_stops,
     B = len(starts)
     if B > MAX_LANES_PER_CALL:
         # dispatch every slab before fetching any result: JAX queues the
-        # launches asynchronously so the device pipeline stays full
+        # launches asynchronously (and _launch_scan issues the host copies
+        # asynchronously too), so the whole multi-slab run pays ONE fetch
+        # round trip
         pending = []
         for s in range(0, B, MAX_LANES_PER_CALL):
             e = min(s + MAX_LANES_PER_CALL, B)
@@ -556,22 +559,8 @@ def _run_scan(dfm, q_rows, starts, emit_stops, ext_stops, hard_stops,
                 mesh=mesh, init12=init12)))
         outs = [_fetch_scan(n_real, raw, max_out, st)
                 for n_real, st, raw in pending]
-        width = max(o[0].shape[1] for o in outs)
-
-        def padw(a):
-            if a.shape[1] == width:
-                return a
-            out = np.zeros((a.shape[0], width), dtype=a.dtype)
-            out[:, :a.shape[1]] = a
-            return out
-
-        return (np.concatenate([padw(o[0]) for o in outs]),
-                np.concatenate([padw(o[1]) for o in outs]),
-                np.concatenate([padw(o[2]) for o in outs]),
-                np.concatenate([padw(o[3]) for o in outs]),
-                np.concatenate([o[4] for o in outs]),
-                np.concatenate([o[5] for o in outs]),
-                np.concatenate([o[6] for o in outs]))
+        return tuple(np.concatenate([o[j] for o in outs])
+                     for j in range(7))
     return _fetch_scan(B, _launch_scan(
         dfm, q_rows, starts, emit_stops, ext_stops, hard_stops,
         min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh,
@@ -605,11 +594,20 @@ def _launch_scan(dfm, q_rows, starts, emit_stops, ext_stops,
     else:
         st, em, ex, hd = (jnp.asarray(st), jnp.asarray(em), jnp.asarray(ex),
                           jnp.asarray(hd))
-    return _seed_scan(
+    res = _seed_scan(
         dfm, q_rows, st, em, ex, hd,
         min_seed_length=min_seed_length, max_seed_freq=max_seed_freq,
         sensitive=sensitive, max_out=max_out, init12=init12,
         sa_mode=_pick_sa_mode(dfm, mesh))
+    # queue the device->host copies NOW (behind the compute): the later
+    # np.asarray calls then wait on data already in flight instead of each
+    # paying its own tunnel round trip (~37 ms apiece on the axon link)
+    for a in res:
+        try:
+            a.copy_to_host_async()
+        except Exception:
+            pass
+    return res
 
 
 def _pick_sa_mode(dfm, mesh) -> str:
@@ -629,26 +627,25 @@ def _pick_sa_mode(dfm, mesh) -> str:
 
 
 def _fetch_scan(B, raw, max_out, starts):
-    """Bring one slab's results to host in TWO transfers (out_n decides the
-    slot-width trim, so it must land first), trimmed to the used width,
-    and unpack the (qpos_rel|len, k0, freq) planes."""
-    planes, meta = raw
-    meta_h = np.asarray(meta)[:B]
+    """Bring one slab's results to host (the copies are already in flight,
+    so the three np.asarray calls share one round trip) and unpack the
+    (qpos_rel|len, k0, freq) planes. No width trim: the tunnel's per-fetch
+    LATENCY dominates its bandwidth at these sizes, so a serial
+    fetch-out_n-then-trim round trip costs more than the extra bytes."""
+    meta_d, mk_d, fr_d = raw
+    meta_h = np.asarray(meta_d)[:B]
     n, exits, poison = meta_h[:, 0], meta_h[:, 1], meta_h[:, 2]
     _fetch_scan.last_finish_iters = meta_h[:, 3]   # diagnostics hook
-    width = _next_pow2(int(n.max()) if B else 1, 8)
-    width = min(width, max_out)
-    ph = np.asarray(planes[:, :B, :width])
+    ph = np.asarray(mk_d)[:, :B, :]
+    fr = np.asarray(fr_d)[:B].astype(np.int64)
     qs = (ph[0] & 0xFFFF).astype(np.int64) + \
         np.asarray(starts[:B], np.int64)[:, None]
     ls = (ph[0] >> 16).astype(np.int64)
-    if ph.shape[0] == 4:     # wide: k0 split into lo/hi words
+    if ph.shape[0] == 3:     # wide: k0 split into lo/hi words
         k0 = (ph[1].astype(np.uint64)
               | (ph[2].astype(np.uint64) << 32)).view(np.int64)
-        fr = ph[3].astype(np.int64)
     else:
         k0 = ph[1].view(np.int32).astype(np.int64)
-        fr = ph[2].astype(np.int64)
     return (qs, ls, k0, fr, n, exits, poison)
 
 
@@ -860,11 +857,18 @@ def _expand_hits(dfm, qs, ls, k0, fr):
     pre = k0r < 0
     rdt = np.int64 if dfm.rdtype == jnp.int64 else np.int32
     ranks = np.where(pre, 0, k0r + offset).astype(rdt)
-    want = _next_pow2(total)
-    ranks_pad = np.full(want, 1, dtype=rdt)
-    ranks_pad[:total] = ranks
-    rc_pos = np.asarray(rank_ops.resolve_sa(
-        dfm, jnp.asarray(ranks_pad)))[:total].astype(np.int64)
+    host_sa = getattr(dfm, "_host_sa", None)
+    if host_sa is not None:
+        # full-SA index: resolve on HOST (plain numpy gather) — a device
+        # resolve_sa here costs a dispatch + fetch round trip (~74 ms on
+        # the tunnel) for a lookup the host can do in microseconds
+        rc_pos = host_sa[ranks].astype(np.int64)
+    else:
+        want = _next_pow2(total)
+        ranks_pad = np.full(want, 1, dtype=rdt)
+        ranks_pad[:total] = ranks
+        rc_pos = np.asarray(rank_ops.resolve_sa(
+            dfm, jnp.asarray(ranks_pad)))[:total].astype(np.int64)
     lens = ls[rep].astype(np.int64)
     # ranks index RC(P) occurrences; the fwd+RC text is its own reverse
     # complement, so P occurs at the mirrored positions.

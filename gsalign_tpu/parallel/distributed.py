@@ -81,7 +81,7 @@ def run_distributed(fm, query_records: List, cfg, output_prefix: str,
         st, coll, res = compare_genomes(
             fm, [query_records[ci]], cfg, output_prefix=part,
             verbose=verbose, mesh=mesh, dp_fn=dp_fn,
-            write_vcf_file=False)
+            write_vcf_file=False, plot_prefix=output_prefix)
         with open(part + ".pkl.tmp", "wb") as fh:
             pickle.dump((st, coll), fh)
         os.replace(part + ".pkl.tmp", part + ".pkl")       # commit marker

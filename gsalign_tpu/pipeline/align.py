@@ -68,7 +68,8 @@ def compare_genomes(fm: FMIndex,
                     verbose: bool = True,
                     dp_fn=None,
                     mesh=None,
-                    write_vcf_file: bool = True):
+                    write_vcf_file: bool = True,
+                    plot_prefix: Optional[str] = None):
     """Run the full comparison. query_records: [(name, ascii uint8[]), ...].
 
     With a mesh (jax.sharding.Mesh over the "frag" axis), the two batched
@@ -229,7 +230,11 @@ def compare_genomes(fm: FMIndex,
                                   collector, ref_codes=ref_codes_full,
                                   qry_codes=qry_codes)
         if cfg.show_plot and output_prefix:
-            write_dotplot(output_prefix, qname, blocks, chr_index)
+            # under sharded runs the dotplot keeps the USER-facing prefix
+            # (the reference writes {prefix}.gp / {prefix}-{qname}.ps,
+            # src/DotPloting.cpp:47-49, regardless of worker)
+            write_dotplot(plot_prefix or output_prefix, qname, blocks,
+                          chr_index, gnuplot_path=cfg.gnuplot_path)
 
         results.append(ChromosomeResult(qname, blocks, n, aln_len_sum,
                                         aln_score_sum))

@@ -9,6 +9,8 @@ the block's score/aln_len and its last pair) before emission.
 
 from __future__ import annotations
 
+import os
+
 from typing import List
 
 import numpy as np
@@ -278,11 +280,31 @@ def write_aln(path: str, blocks: List[Block], qry_name: str,
             fh.write("*" * 100 + "\n")
 
 
+# gnuplot line colors (src/DotPloting.cpp:3); only the top-5 are reachable
+_LINE_COLORS = ["red", "blue", "web-green", "dark-magenta", "orange",
+                "yellow", "turquoise", "dark-yellow", "violet", "dark-grey"]
+
+
+def _find_gnuplot(cfg_path: str = "") -> str:
+    """FindGnuPlotPath (src/main.cpp:169-191): the -gp override wins,
+    else the first absolute path `whereis gnuplot` reports (PATH lookup
+    here — same result without the shell-out-to-a-temp-file quirk)."""
+    if cfg_path:
+        return cfg_path
+    import shutil
+    return shutil.which("gnuplot") or ""
+
+
 def write_dotplot(prefix: str, qry_name: str, blocks: List[Block],
-                  chr_index: ChrLocIndex) -> list:
-    """Dotplot data (OutputDotplot, src/DotPloting.cpp:10-71): top-5 ref
-    chromosomes by score; rendered with matplotlib (PostScript out) instead
-    of shelling to gnuplot. Returns the written file paths."""
+                  chr_index: ChrLocIndex, gnuplot_path: str = "") -> list:
+    """OutputDotplot (src/DotPloting.cpp:10-71): top-5 ref chromosomes by
+    score (floor 1000); writes per-chromosome gnuplot data files
+    `{prefix}.{qname}vs{chrname}` and the gnuplot script `{prefix}.gp`
+    byte-compatible with the reference, then execs gnuplot (producing
+    `{prefix}-{qname}.ps`) and removes the data files, exactly as the
+    reference does. Without a usable gnuplot the data/script files stay on
+    disk and matplotlib renders the .ps instead (documented divergence).
+    Returns the written file paths."""
     g = chr_index.genome
     if not blocks:
         return []
@@ -308,27 +330,69 @@ def write_dotplot(prefix: str, qry_name: str, blocks: List[Block],
                 chr_index, int(blk.r_pos[-1] + blk.r_len[-1] - 1)).g_pos
             segments[ci].append((q1, r1, q2, r2))
 
-    written = []
+    # per-chromosome data files + gnuplot script (src/DotPloting.cpp:36-58)
+    data_base = f"{prefix}.{qry_name}"
+    data_files = []
+    for ci, _ in chosen:
+        path = f"{data_base}vs{g.names[ci]}"
+        with open(path, "w") as fh:
+            fh.write("0 0\n0 0\n\n")
+            for q1, r1, q2, r2 in segments[ci]:
+                fh.write(f"{q1} {r1}\n{q2} {r2}\n\n")
+        data_files.append(path)
+    gp_path = f"{prefix}.gp"
+    ps_path = f"{prefix}-{qry_name}.ps"
+    with open(gp_path, "w") as fh:
+        fh.write("set terminal postscript color solid 'Courier' 15\n"
+                 f"set output '{ps_path}'\nset grid\nset border 1\n")
+        for k in range(len(chosen)):
+            fh.write(f"set style line {k + 1} lw 4 pt 0 ps 0.5 "
+                     f"lc '{_LINE_COLORS[k]}'\n")
+        fh.write("set xrange[1:*]\nset yrange[1:*]\n"
+                 f"set xlabel 'Query ({qry_name})'\nset ylabel 'Ref'\n")
+        fh.write("plot ")
+        parts = [f"'{data_files[k]}' title '{g.names[ci]}' with lp ls {k + 1}"
+                 for k, (ci, _) in enumerate(chosen)]
+        fh.write(", ".join(parts) + "\n\n")
+
+    gnuplot = _find_gnuplot(gnuplot_path)
+    if gnuplot:
+        import subprocess
+        try:
+            subprocess.run([gnuplot, gp_path], check=False)
+        except OSError:
+            gnuplot = ""
+    if gnuplot:
+        # `rm DataFileName*` (src/DotPloting.cpp:70) — scoped to the files
+        # this call wrote rather than the reference's glob
+        for path in data_files:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+        return [gp_path, ps_path]
+
+    # no gnuplot: keep data/script files and render the .ps with matplotlib
+    written = data_files + [gp_path]
     try:
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
     except ImportError:
-        return []
+        return written
     fig, ax = plt.subplots(figsize=(8, 8))
-    colors = ["red", "blue", "green", "magenta", "orange"]
     for k, (ci, _) in enumerate(chosen):
         xs, ys = [], []
         for q1, r1, q2, r2 in segments[ci]:
             xs += [q1, q2, np.nan]
             ys += [r1, r2, np.nan]
-        ax.plot(xs, ys, color=colors[k % len(colors)], linewidth=1.0,
+        ax.plot(xs, ys, color=["red", "blue", "green", "magenta",
+                               "orange"][k % 5], linewidth=1.0,
                 label=g.names[ci])
     ax.set_xlabel(f"Query ({qry_name})")
     ax.set_ylabel("Ref")
     ax.legend()
-    out = f"{prefix}-{qry_name}.ps"
-    fig.savefig(out)
+    fig.savefig(ps_path)
     plt.close(fig)
-    written.append(out)
+    written.append(ps_path)
     return written

@@ -92,3 +92,41 @@ def test_dotplot_smoke(fm, pair, tmp_path):
     assert len(plots) >= 1
     with open(plots[0], "rb") as fh:
         assert fh.read(4) == b"%!PS"
+
+
+def test_dotplot_gnuplot_parity(fm, pair, tmp_path):
+    """The gnuplot script + data files match OutputDotplot's format
+    (src/DotPloting.cpp:36-58), and with a gnuplot present (a stub here)
+    the data files are removed after exec, like the reference."""
+    import glob
+    import stat
+    cfg = dataclasses.replace(AlignConfig(), show_plot=True)
+    prefix, _, _ = run(fm, pair, tmp_path, cfg, "gp1")
+    gp = prefix + ".gp"
+    assert os.path.exists(gp)
+    with open(gp) as fh:
+        script = fh.read()
+    assert script.startswith(
+        "set terminal postscript color solid 'Courier' 15\n")
+    assert "set style line 1 lw 4 pt 0 ps 0.5 lc 'red'\n" in script
+    assert "set xrange[1:*]\nset yrange[1:*]\n" in script
+    assert "\nplot '" in script and "' with lp ls 1" in script
+    data_files = [p for p in glob.glob(prefix + ".*vs*")]
+    assert data_files, "no-gnuplot fallback must keep the data files"
+    with open(data_files[0]) as fh:
+        body = fh.read()
+    assert body.startswith("0 0\n0 0\n\n")
+    seg = body.split("\n\n")[1].splitlines()
+    assert len(seg) == 2 and all(len(l.split()) == 2 for l in seg)
+
+    # stub gnuplot: exec path must invoke it and remove the data files
+    stub = tmp_path / "gnuplot"
+    stub.write_text("#!/bin/sh\ntouch \"$(dirname $1)/gnuplot_ran\"\n")
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    cfg2 = dataclasses.replace(AlignConfig(), show_plot=True,
+                               gnuplot_path=str(stub))
+    prefix2, _, _ = run(fm, pair, tmp_path, cfg2, "gp2")
+    assert os.path.exists(os.path.join(os.path.dirname(prefix2),
+                                       "gnuplot_ran"))
+    assert not glob.glob(prefix2 + ".*vs*"), "data files must be removed"
+    assert os.path.exists(prefix2 + ".gp")

@@ -20,6 +20,14 @@ from gsalign_tpu.ops.rank import DeviceFMIndex            # noqa: E402
 from gsalign_tpu.ops import seeding                       # noqa: E402
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _null():
+    yield
+
+
 def main():
     tag = sys.argv[1] if len(sys.argv) > 1 else "ecoli_4.6mb"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
@@ -54,10 +62,13 @@ def main():
 
     seeding._run_scan = wrapped
     try:
+        from gsalign_tpu.utils.trace import device_trace
         for r in range(reps):
             rounds.clear()
             t0 = time.time()
-            seeds = seeding.find_seeds_all(dfm, qcodes)
+            # trace only the LAST rep (warm executables) when GSALIGN_TRACE set
+            with device_trace() if r == reps - 1 else _null():
+                seeds = seeding.find_seeds_all(dfm, qcodes)
             total = time.time() - t0
             n_seeds = sum(len(s[0]) for s in seeds)
             print(f"rep {r}: total={total:.3f}s seeds={n_seeds}")
