@@ -46,11 +46,11 @@ class AlignConfig:
     dp_buckets: tuple = (64, 128, 256, 512, 1024, 2048, 5120)
     dp_batch_cells: int = 1 << 26       # target cells per DP kernel launch
     # Pallas fused DP kernel (ops/dp_pallas.py): hardware-parity-verified,
-    # ~1.2x the lax.scan path on a v5e (0.85 vs 0.72 Gcells/s incl.
-    # traceback at [2048x128x128]). Default OFF in this environment: the
-    # axon tunnel pays 1-5 min executable load per fresh process for a
-    # ~50ms/run saving. Flip on for local-chip deployments.
-    use_pallas: bool = False
+    # 1.3-2.1x the lax.scan path on a v5e incl. traceback (4.3 vs 2.9
+    # Gcells/s at [2048x128x128], 12.6 vs 6.1 at L=256; round-3 honest
+    # block_until_ready timing). Probe-gated: falls back to the scan path
+    # when the toolchain can't build the kernel.
+    use_pallas: bool = True
 
     def effective(self) -> "AlignConfig":
         """Apply -sen implications (reference src/main.cpp:272-277,323)."""

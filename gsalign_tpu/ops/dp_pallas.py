@@ -15,6 +15,13 @@ the compact layout is behaviorally identical and lets TWO wavefronts pack
 into one int8 VMEM cell (low nibble = even r, high = odd r). That halves
 the O(L^2) scratch and lifts the in-VMEM bucket bound to L = 256.
 
+Band-phase scheduling: anti-diagonal r only touches DP rows
+[max(0, r-L+1), min(r, L-1)], so the first L/2 wavefronts live entirely
+in rows [0, L/2) and the last L/2 in [L/2, L). The forward and traceback
+loops each run in three statically-windowed phases (lower half / full /
+upper half), cutting the per-wavefront vector work by ~25% overall
+against the naive full-column schedule.
+
 Mosaic-friendly constructions (this toolchain rejects SMEM scalar-vector
 stacks, per-lane scatters/gathers, and any int64 in the kernel — see
 CLAUDE.md):
@@ -25,7 +32,7 @@ CLAUDE.md):
  - per-problem lengths are ordinary VMEM vector inputs;
  - the forward loop processes wavefront PAIRS (2g, 2g+1), carrying the
    even wavefront's directions in registers and storing one packed
-   [L, TB] int8 plane per pair — one store per two wavefronts;
+   [rn, TB] int8 plane per pair — one store per two wavefronts;
  - the traceback runs on a GLOBAL anti-diagonal schedule: wavefront r
    decreases one per step and a problem acts only when its i+j == r (an
    M-step skips a wavefront, so the problem idles one step and emits PAD,
@@ -55,8 +62,14 @@ from gsalign_tpu.ops.dp import (GAP_OPEN, MAX_SC, OP_D, OP_I, OP_M, OP_PAD,
 MATCH = 1
 MISMATCH = -1
 
-TB = 128          # problems per tile (lane axis)
 MAX_L = 256       # packed d scratch (L, L, TB) int8 must fit VMEM
+
+
+def _tile_b(L: int) -> int:
+    """Problems per tile (lane axis). 256 lanes trips a Mosaic
+    cannot-prove-alignment failure on the dynamic-start query-window load
+    (measured on this toolchain), so one native lane group it is."""
+    return 128
 
 
 def _n_steps(L: int) -> int:
@@ -64,7 +77,7 @@ def _n_steps(L: int) -> int:
 
 
 def _dp_kernel(q_ref, t_ref, ql_ref, tl_ref, ops_ref,
-               u_ref, v_ref, x_ref, y_ref, d_ref, *, L: int):
+               u_ref, v_ref, x_ref, y_ref, d_ref, *, L: int, TB: int):
     """One tile: full forward wavefront loop + wavefront-scheduled traceback.
 
     q_ref: [3L, TB] reversed-padded ksw-query columns (wildcard guards)
@@ -82,37 +95,52 @@ def _dp_kernel(q_ref, t_ref, ql_ref, tl_ref, ops_ref,
 
     ql = ql_ref[0, :]                   # [TB]
     tl = tl_ref[0, :]
-    t_codes = t_ref[:]                  # [L, TB]
-    t_idx = jax.lax.broadcasted_iota(i32, (L, TB), 0)
+    half = L // 2
 
-    def wavefront(r):
-        """One anti-diagonal update; returns its 4-bit direction plane."""
-        u = u_ref[:]
-        v = v_ref[:]
-        x = x_ref[:]
-        y = y_ref[:]
+    def wavefront(r, ro, rn):
+        """Anti-diagonal r over DP rows [ro, ro+rn); returns its 4-bit
+        direction plane [rn, TB]. ro/rn are STATIC; r's live band must be
+        contained in the window (band-phase scheduling above)."""
+        t_idx = jax.lax.broadcasted_iota(i32, (rn, TB), 0) + i32(ro)
+        t_codes = t_ref[ro:ro + rn, :]
+        top_val = jnp.where(r > i32(0), i32(GAP_OPEN), i32(0))
+        if ro == 0:
+            u = u_ref[0:rn, :]
+            v = v_ref[0:rn, :]
+            x = x_ref[0:rn, :]
+            y = y_ref[0:rn, :]
+            x1 = jnp.zeros((1, TB), i32)
+            v1 = jnp.broadcast_to(top_val, (1, TB)).astype(i32)
+            xt1 = jnp.concatenate([x1, x[:-1, :]], axis=0)
+            vt1 = jnp.concatenate([v1, v[:-1, :]], axis=0)
+        else:
+            # upper-half phase: its wavefronts (r >= 3L/2) have
+            # st0 = r-ql+1 >= L/2+1, so row ro = L/2 is never in-band and
+            # the t-1 boundary row it would read (ro-1, an unaligned
+            # sublane offset Mosaic rejects) can be zeros — the value only
+            # feeds the masked-out row
+            u = u_ref[ro:ro + rn, :]
+            v = v_ref[ro:ro + rn, :]
+            x = x_ref[ro:ro + rn, :]
+            y = y_ref[ro:ro + rn, :]
+            zrow = jnp.zeros((1, TB), i32)
+            xt1 = jnp.concatenate([zrow, x[:-1, :]], axis=0)
+            vt1 = jnp.concatenate([zrow, v[:-1, :]], axis=0)
         st0 = jnp.maximum(i32(0), r - ql + i32(1))[None, :]   # [1, TB]
         en0 = jnp.minimum(r, tl - i32(1))[None, :]
 
         # boundary pre-sets at t == r (top DP row), masked per problem
         in_top = r <= tl[None, :] - i32(1)
         at_r = t_idx == r
-        top_val = jnp.where(r > i32(0), i32(GAP_OPEN), i32(0))
         u = jnp.where(in_top & at_r, top_val, u)
         y = jnp.where(in_top & at_r, i32(0), y)
 
         # s[t] = score(T[t], Q[r-t]) via the reversed-query window
-        start = i32(2 * L - 1) - r
-        qrr = q_ref[pl.ds(start, L), :]                       # [L, TB]
+        start = i32(2 * L - 1 + ro) - r
+        qrr = q_ref[pl.ds(start, rn), :]                      # [rn, TB]
         is_wild = (t_codes >= WILDCARD) | (qrr >= WILDCARD)
         s = jnp.where(is_wild, i32(0),
                       jnp.where(t_codes == qrr, i32(MATCH), i32(MISMATCH)))
-
-        # shifted previous-row values (t-1 lives one sublane up)
-        x1 = jnp.zeros((1, TB), i32)
-        v1 = jnp.broadcast_to(top_val, (1, TB)).astype(i32)
-        xt1 = jnp.concatenate([x1, x[:-1, :]], axis=0)
-        vt1 = jnp.concatenate([v1, v[:-1, :]], axis=0)
 
         z = s + i32(QE2)
         a = xt1 + vt1
@@ -133,74 +161,114 @@ def _dp_kernel(q_ref, t_ref, ql_ref, tl_ref, ops_ref,
         d = d | jnp.where(b2 > 0, i32(8), i32(0))
 
         in_band = (t_idx >= st0) & (t_idx <= en0)
-        u_ref[:] = jnp.where(in_band, u_new, u)
-        v_ref[:] = jnp.where(in_band, v_new, v)
-        x_ref[:] = jnp.where(in_band, x_new, x)
-        y_ref[:] = jnp.where(in_band, y_new, y)
+        u_ref[ro:ro + rn, :] = jnp.where(in_band, u_new, u)
+        v_ref[ro:ro + rn, :] = jnp.where(in_band, v_new, v)
+        x_ref[ro:ro + rn, :] = jnp.where(in_band, x_new, x)
+        y_ref[ro:ro + rn, :] = jnp.where(in_band, y_new, y)
         return jnp.where(in_band, d, i32(0))
 
-    def fwd_body(g, _):
-        # wavefront pair (2g, 2g+1): one packed int8 store per pair.
-        # r = 2L-1 (only reached via the final pad slot) has an empty band
-        # everywhere (r > ql+tl-2 for ql,tl <= L), so computing it is
-        # harmless and keeps the loop rectangular.
-        d_even = wavefront(i32(2) * g)
-        d_odd = wavefront(i32(2) * g + i32(1))
-        d_ref[g] = (d_even | (d_odd << i32(4))).astype(jnp.int8)
-        return i32(0)
+    def fwd_phase(ro, rn):
+        def body(g, _):
+            # two wavefront pairs (4g..4g+3) per loop step — Mosaic only
+            # supports unroll=1, so the unroll is manual — with one packed
+            # int8 store per pair. r = 2L-1 (the final pad slot) has an
+            # empty band everywhere (r > ql+tl-2 for ql,tl <= L): harmless,
+            # keeps loops square.
+            p0 = i32(2) * g
+            d0 = wavefront(i32(2) * p0, ro, rn)
+            d1 = wavefront(i32(2) * p0 + i32(1), ro, rn)
+            d_ref[pl.ds(p0, 1), ro:ro + rn] = \
+                (d0 | (d1 << i32(4))).astype(jnp.int8)[None]
+            d2 = wavefront(i32(2) * p0 + i32(2), ro, rn)
+            d3 = wavefront(i32(2) * p0 + i32(3), ro, rn)
+            d_ref[pl.ds(p0 + i32(1), 1), ro:ro + rn] = \
+                (d2 | (d3 << i32(4))).astype(jnp.int8)[None]
+            return i32(0)
+        return body
 
-    jax.lax.fori_loop(i32(0), i32(L), fwd_body, i32(0))
+    # pairs in [0, L/4): r < L/2 lives in rows [0, L/2); pairs in
+    # [3L/4, L): r >= 3L/2 lives in rows [L/2, L); the middle needs the
+    # full column. Loop index g covers TWO pairs, so bounds are /2.
+    q8 = L // 8
+    jax.lax.fori_loop(i32(0), i32(q8), fwd_phase(0, half), i32(0))
+    jax.lax.fori_loop(i32(q8), i32(3 * q8), fwd_phase(0, L), i32(0))
+    jax.lax.fori_loop(i32(3 * q8), i32(4 * q8), fwd_phase(half, half),
+                      i32(0))
 
     # ---- traceback on the global anti-diagonal schedule ----
     NT = _n_steps(L)
 
     iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, TB), 0)
 
-    def tb_body(g, carry):
-        ii, jj, st, buf = carry                  # [1, TB] int32 (+buf [8,TB])
-        r = i32(2 * L - 2) - g
-        both = (ii >= 0) & (jj >= 0)
-        act = ((ii + jj) == r) & ((ii >= 0) | (jj >= 0))
+    def tb_phase(ro, rn):
+        t_idx = jax.lax.broadcasted_iota(i32, (rn, TB), 0) + i32(ro)
 
-        row = d_ref[jnp.maximum(r >> 1, i32(0))]  # [L, TB] packed int8
-        pick = t_idx == jnp.clip(ii, i32(0), i32(L - 1))
-        tmp = jnp.sum(jnp.where(pick, row.astype(i32), i32(0)),
-                      axis=0, keepdims=True, dtype=i32)   # [1, TB]
-        tmp = (tmp >> ((r & i32(1)) * i32(4))) & i32(0xF)  # nibble of r
-        tmp = jnp.where(act & both, tmp, i32(0))
+        def step(g, carry):
+            ii, jj, st, buf = carry              # [1, TB] int32 (+buf [8,TB])
+            r = i32(2 * L - 2) - g
+            both = (ii >= 0) & (jj >= 0)
+            act = ((ii + jj) == r) & ((ii >= 0) | (jj >= 0))
 
-        s1 = jnp.where(st == 0, tmp & i32(3),
-                       jnp.where(((tmp >> (st + i32(1))) & i32(1)) == 0,
-                                 i32(0), st))
-        s2 = jnp.where(s1 == 0, tmp & i32(3), s1)
-        is_m = s2 == 0
-        is_d = (s2 == 1) | (s2 == 3)
-        op_main = jnp.where(is_m, i32(OP_M),
-                            jnp.where(is_d, i32(OP_D), i32(OP_I)))
-        op_tail = jnp.where(ii >= 0, i32(OP_D),
-                            jnp.where(jj >= 0, i32(OP_I), i32(OP_PAD)))
-        op = jnp.where(act, jnp.where(both, op_main, op_tail), i32(OP_PAD))
-        di = jnp.where(both, jnp.where(is_m | is_d, i32(1), i32(0)),
-                       jnp.where(ii >= 0, i32(1), i32(0)))
-        dj = jnp.where(both, jnp.where(is_m | ~is_d, i32(1), i32(0)),
-                       jnp.where((ii < 0) & (jj >= 0), i32(1), i32(0)))
-        acti = act.astype(i32)
-        # int8 single-sublane dynamic stores are rejected by Mosaic: buffer
-        # eight steps in registers and store an aligned (8, TB) int32 tile
-        buf = jnp.where(iota8 == (g & i32(7)), op, buf)
+            row = d_ref[jnp.maximum(r >> 1, i32(0)),
+                        ro:ro + rn]              # [rn, TB] packed int8
+            pick = t_idx == jnp.clip(ii, i32(ro), i32(ro + rn - 1))
+            tmp = jnp.sum(jnp.where(pick, row.astype(i32), i32(0)),
+                          axis=0, keepdims=True, dtype=i32)   # [1, TB]
+            tmp = (tmp >> ((r & i32(1)) * i32(4))) & i32(0xF)  # r's nibble
+            tmp = jnp.where(act & both, tmp, i32(0))
 
-        @pl.when((g & i32(7)) == i32(7))
-        def _flush():
-            ops_ref[pl.ds((g >> i32(3)) * i32(8), 8), :] = buf
-        return (ii - di * acti, jj - dj * acti,
-                jnp.where(act & both, s2, st), buf)
+            s1 = jnp.where(st == 0, tmp & i32(3),
+                           jnp.where(((tmp >> (st + i32(1))) & i32(1)) == 0,
+                                     i32(0), st))
+            s2 = jnp.where(s1 == 0, tmp & i32(3), s1)
+            is_m = s2 == 0
+            is_d = (s2 == 1) | (s2 == 3)
+            op_main = jnp.where(is_m, i32(OP_M),
+                                jnp.where(is_d, i32(OP_D), i32(OP_I)))
+            op_tail = jnp.where(ii >= 0, i32(OP_D),
+                                jnp.where(jj >= 0, i32(OP_I), i32(OP_PAD)))
+            op = jnp.where(act, jnp.where(both, op_main, op_tail),
+                           i32(OP_PAD))
+            di = jnp.where(both, jnp.where(is_m | is_d, i32(1), i32(0)),
+                           jnp.where(ii >= 0, i32(1), i32(0)))
+            dj = jnp.where(both, jnp.where(is_m | ~is_d, i32(1), i32(0)),
+                           jnp.where((ii < 0) & (jj >= 0), i32(1), i32(0)))
+            acti = act.astype(i32)
+            # int8 single-sublane dynamic stores are rejected by Mosaic:
+            # buffer eight steps in registers, store aligned (8, TB) tiles
+            buf = jnp.where(iota8 == (g & i32(7)), op, buf)
+            return (ii - di * acti, jj - dj * acti,
+                    jnp.where(act & both, s2, st), buf)
+
+        def body(h, carry):
+            # two traceback steps per loop iteration (manual unroll); the
+            # flush lands on the odd sub-step when it completes a tile of 8
+            g1 = i32(2) * h + i32(1)
+            carry = step(i32(2) * h, carry)
+            carry = step(g1, carry)
+
+            @pl.when((g1 & i32(7)) == i32(7))
+            def _flush():
+                ops_ref[pl.ds((g1 >> i32(3)) * i32(8), 8), :] = carry[3]
+            return carry
+        return body
 
     ii0 = (tl - i32(1))[None, :]
     jj0 = (ql - i32(1))[None, :]
     st0_ = jnp.zeros((1, TB), i32)
     buf0 = jnp.full((8, TB), i32(OP_PAD), i32)
-    jax.lax.fori_loop(i32(0), i32(NT), tb_body,
-                      (ii0, jj0, st0_, buf0))
+    # step g walks r = 2L-2-g: r >= 3L/2 (g <= L/2-2) stays in the upper
+    # half; r < L/2 (g >= 3L/2-1) in the lower. Phase bounds snap to the
+    # 8-step flush grid INSIDE those safe ranges; loop index h covers TWO
+    # steps, so bounds are /2 (still multiples of the 4-h flush period).
+    G1 = ((L // 2 - 1) // 8) * 8
+    G2 = -(-(3 * L // 2 - 1) // 8) * 8
+    carry = (ii0, jj0, st0_, buf0)
+    carry = jax.lax.fori_loop(i32(0), i32(G1 // 2),
+                              tb_phase(half, half), carry)
+    carry = jax.lax.fori_loop(i32(G1 // 2), i32(G2 // 2),
+                              tb_phase(0, L), carry)
+    jax.lax.fori_loop(i32(G2 // 2), i32(NT // 2), tb_phase(0, half), carry)
 
 
 @partial(jax.jit, static_argnames=("L", "interpret"))
@@ -210,9 +278,12 @@ def dp_align_batch_pallas(q_codes, t_codes, ql, tl, L: int,
     with interleaved OP_PAD (callers strip PADs), uint8 [B, NT].
 
     q_codes/t_codes: int32 [B, L] (pad 4); B is padded to a TB multiple
-    internally. Requires L <= MAX_L.
+    internally. Requires L <= MAX_L and L a multiple of 16 (the band-phase
+    and flush grids) — align_fragments' power-of-two buckets qualify.
     """
     assert L <= MAX_L, f"pallas DP bucket limit is {MAX_L}, got {L}"
+    assert L % 16 == 0, f"pallas DP bucket must be 16-aligned, got {L}"
+    TB = _tile_b(L)
     B0 = q_codes.shape[0]
     B = -(-B0 // TB) * TB
     if B != B0:
@@ -257,7 +328,7 @@ def dp_align_batch_pallas(q_codes, t_codes, ql, tl, L: int,
         ],
     )
     ops = pl.pallas_call(
-        partial(_dp_kernel, L=L),
+        partial(_dp_kernel, L=L, TB=TB),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NT, B), jnp.int32),
         interpret=interpret,
@@ -289,7 +360,7 @@ def make_hybrid_dp_fn():
     from gsalign_tpu.ops.dp import dp_align_batch
 
     def fn(q, t, ql, tl, L):
-        if L <= MAX_L:
+        if L <= MAX_L and L % 16 == 0:
             return dp_align_batch_pallas(q, t, ql, tl, L)
         return dp_align_batch(q, t, ql, tl, L)
     return fn
