@@ -69,6 +69,20 @@ def main(argv=None) -> int:
             return build_index_cmd(args[1], args[2])
         print(f"usage: {prog} index ref.fa prefix", file=sys.stderr)
         return 1
+    if args[0] == "import":
+        # convert a reference GSAlign/BWA five-file index (.pac/.ann/.amb/
+        # .bwt/.sa, src/bwt_index.cpp:15-147) to our artifact
+        if len(args) == 3:
+            from gsalign_tpu.index.bwa_import import import_bwa_index
+            from gsalign_tpu.index.io import save_index
+            t0 = time.time()
+            fm = import_bwa_index(args[1])
+            save_index(fm, args[2])
+            print(f"[import] {args[1]}.pac/.ann/.amb -> {args[2]}.npz "
+                  f"({time.time()-t0:.1f}s)", file=sys.stderr)
+            return 0
+        print(f"usage: {prog} import bwa_prefix out_prefix", file=sys.stderr)
+        return 1
 
     index_prefix = ref_file = query_file = None
     output_prefix = "output"
@@ -171,6 +185,16 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             if ref_file is None:
                 return 1
+    elif index_prefix is not None and \
+            os.path.exists(index_prefix + ".pac") and \
+            os.path.exists(index_prefix + ".ann"):
+        # -i pointed at a reference GSAlign/BWA five-file index: import it
+        # transparently (the reference's bwa_idx_load path,
+        # src/main.cpp:306 -> src/bwt_index.cpp:147)
+        from gsalign_tpu.index.bwa_import import import_bwa_index
+        print(f"Importing BWA-format index at {index_prefix}...",
+              file=sys.stderr)
+        fm = import_bwa_index(index_prefix, threads=cfg.thread_num)
     if fm is not None:
         pass
     elif ref_file is not None:
