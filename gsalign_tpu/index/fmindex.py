@@ -92,8 +92,10 @@ def build_fmindex(genome: Genome, sa_intv: Optional[int] = None,
     """Build the FM-index over the genome's fwd+RC text.
 
     sa_intv None picks automatically: the FULL suffix array (interval 1 —
-    occurrence resolution becomes a single gather, no LF walks) while it
-    fits a ~1.2GB budget, else every-8th sampling.
+    occurrence resolution becomes a single gather, no LF walks, and the
+    seed scan's direct-extension path activates) up to 640M text rows
+    (~320 Mb genomes; SA 2.56 GB device-side, split out of comb_pairs
+    above rank.SA_SPLIT_BYTES), else every-8th sampling.
 
     Texts with seq_len >= 2^31 (the reference handles these via 64-bit
     bwtint_t, src/BWT_Index/bwt.h:36-40) keep int64 checkpoints/SA; the
@@ -104,7 +106,7 @@ def build_fmindex(genome: Genome, sa_intv: Optional[int] = None,
     n = int(text.shape[0])
     wide = force_wide or n >= (1 << 31)
     if sa_intv is None:
-        sa_intv = 1 if (n <= 300_000_000 and not wide) else 8
+        sa_intv = 1 if (n <= 640_000_000 and not wide) else 8
     assert sa_intv & (sa_intv - 1) == 0, "sa_intv must be a power of two"
     if sa_full is None:
         sa_full = build_suffix_array(text, prefer_device=prefer_device)

@@ -495,13 +495,18 @@ def _seed_scan(dfm: DeviceFMIndex,
         )
 
     final = jax.lax.while_loop(cond, body, init_state)
-    # three result arrays, all fetched with ONE host round trip (the
-    # launcher issues copy_to_host_async on each; the tunnel's ~37 ms
-    # per-np.asarray latency applies once, not per array): per-lane
-    # scalars ride one [B, 4] array, (qpos|len, k0) share a u32
-    # [2 or 3, B, max_out] stack (k0 split into lo/hi words on the wide
-    # path), and freq stays its own int8 plane (stacking it into the u32
-    # planes quadrupled its transfer bytes)
+    # Results are fetched with ONE host round trip (the launcher issues
+    # copy_to_host_async; the tunnel's ~37 ms per-np.asarray latency
+    # applies once, not per array): per-lane scalars ride one [B, 4]
+    # array, (qpos|len, k0) share a u32 [2 or 3, B, max_out] stack (k0
+    # split into lo/hi words on the wide path), and freq stays its own
+    # int8 plane. The emit planes are mostly EMPTY (mean fill ~50 of 128
+    # slots) and the tunnel's bulk D2H is ~40 MB/s, so the planes are
+    # also COMPACTED on device into flat [cap] arrays laid out at
+    # per-lane offsets cumsum(out_n) (a searchsorted + gather — no TPU
+    # scatter); the host fetches only the compact pair and falls back to
+    # the full planes (still on device, not fetched) iff they overflow
+    # cap. Sensitive mode skips compaction (its planes run full).
     meta = jnp.stack([final["out_n"], final["cursor"],
                       final["poison"], final["finish_iter"]],
                      axis=1)                                 # [B, 4] i32
@@ -514,7 +519,19 @@ def _seed_scan(dfm: DeviceFMIndex,
         k0_planes = [k0.view(jnp.uint32) if k0.dtype == jnp.int32
                      else k0.astype(u32)]
     mk = jnp.stack([final["out_meta"].astype(u32)] + k0_planes)
-    return meta, mk, final["out_fr"]
+    fr = final["out_fr"]
+    if sensitive:
+        return meta, mk, fr, mk, fr
+    cap = B * min(max_out, _COMPACT_SLOTS)
+    ends = jnp.cumsum(final["out_n"], dtype=i32)             # [B]
+    kk = jnp.arange(cap, dtype=i32)
+    lane = jnp.clip(jnp.searchsorted(ends, kk, side="right"),
+                    0, B - 1).astype(i32)
+    j = kk - (ends[lane] - final["out_n"][lane])
+    flat_idx = lane * i32(max_out) + jnp.clip(j, 0, max_out - 1)
+    mk_c = mk.reshape(mk.shape[0], B * max_out)[:, flat_idx]
+    fr_c = fr.reshape(-1)[flat_idx]
+    return meta, mk, fr, mk_c, fr_c
 
 
 def _next_pow2(n: int, floor: int = 64) -> int:
@@ -534,6 +551,8 @@ import os
 MAX_LANES_PER_CALL = int(os.environ.get("GSALIGN_MAX_LANES", 4096))
 _SA_GATHER_K = 512          # split-SA compaction slots/iteration (tests
                             # shrink it to exercise the stall-retry path)
+_COMPACT_SLOTS = 64         # emit-compaction budget per lane (mean fill is
+                            # ~50 of 128 slots; the full planes back it up)
 
 
 def _run_scan(dfm, q_rows, starts, emit_stops, ext_stops, hard_stops,
@@ -559,7 +578,18 @@ def _run_scan(dfm, q_rows, starts, emit_stops, ext_stops, hard_stops,
                 mesh=mesh, init12=init12)))
         outs = [_fetch_scan(n_real, raw, max_out, st)
                 for n_real, st, raw in pending]
-        return tuple(np.concatenate([o[j] for o in outs])
+        # slabs decode to different hit widths (compact expansion trims to
+        # each slab's max out_n): pad to the widest before concatenating
+        width = max(o[0].shape[1] for o in outs)
+
+        def padw(a):
+            if a.ndim == 1 or a.shape[1] == width:
+                return a
+            out = np.zeros((a.shape[0], width), dtype=a.dtype)
+            out[:, :a.shape[1]] = a
+            return out
+
+        return tuple(np.concatenate([padw(o[j]) for o in outs])
                      for j in range(7))
     return _fetch_scan(B, _launch_scan(
         dfm, q_rows, starts, emit_stops, ext_stops, hard_stops,
@@ -594,20 +624,21 @@ def _launch_scan(dfm, q_rows, starts, emit_stops, ext_stops,
     else:
         st, em, ex, hd = (jnp.asarray(st), jnp.asarray(em), jnp.asarray(ex),
                           jnp.asarray(hd))
-    res = _seed_scan(
+    meta, mk, fr, mk_c, fr_c = _seed_scan(
         dfm, q_rows, st, em, ex, hd,
         min_seed_length=min_seed_length, max_seed_freq=max_seed_freq,
         sensitive=sensitive, max_out=max_out, init12=init12,
         sa_mode=_pick_sa_mode(dfm, mesh))
     # queue the device->host copies NOW (behind the compute): the later
     # np.asarray calls then wait on data already in flight instead of each
-    # paying its own tunnel round trip (~37 ms apiece on the axon link)
-    for a in res:
+    # paying its own tunnel round trip (~37 ms apiece on the axon link).
+    # The FULL planes stay on device — fetched only on compaction overflow.
+    for a in (meta, mk_c, fr_c):
         try:
             a.copy_to_host_async()
         except Exception:
             pass
-    return res
+    return meta, mk, fr, mk_c, fr_c
 
 
 def _pick_sa_mode(dfm, mesh) -> str:
@@ -627,17 +658,38 @@ def _pick_sa_mode(dfm, mesh) -> str:
 
 
 def _fetch_scan(B, raw, max_out, starts):
-    """Bring one slab's results to host (the copies are already in flight,
-    so the three np.asarray calls share one round trip) and unpack the
-    (qpos_rel|len, k0, freq) planes. No width trim: the tunnel's per-fetch
-    LATENCY dominates its bandwidth at these sizes, so a serial
-    fetch-out_n-then-trim round trip costs more than the extra bytes."""
-    meta_d, mk_d, fr_d = raw
-    meta_h = np.asarray(meta_d)[:B]
-    n, exits, poison = meta_h[:, 0], meta_h[:, 1], meta_h[:, 2]
-    _fetch_scan.last_finish_iters = meta_h[:, 3]   # diagnostics hook
-    ph = np.asarray(mk_d)[:, :B, :]
-    fr = np.asarray(fr_d)[:B].astype(np.int64)
+    """Bring one slab's results to host (the compact copies are already in
+    flight, so the np.asarray calls share one round trip) and unpack the
+    (qpos_rel|len, k0, freq) planes. The compact flat arrays are expanded
+    back to dense [B, width] with a trivial numpy scatter; the full planes
+    are fetched (one extra round trip) only when the slab overflowed the
+    compaction budget."""
+    meta_d, mk_d, fr_d, mkc_d, frc_d = raw
+    Bp = meta_d.shape[0]
+    meta_h = np.asarray(meta_d)
+    n_all = meta_h[:, 0]
+    n, exits, poison = meta_h[:B, 0], meta_h[:B, 1], meta_h[:B, 2]
+    _fetch_scan.last_finish_iters = meta_h[:B, 3]   # diagnostics hook
+    total = int(n_all.sum())
+    # compact arrays are 2-D [p, cap]; sensitive mode returns the full
+    # 3-D planes in their place
+    cap = mkc_d.shape[1] if mkc_d.ndim == 2 else -1
+    if mkc_d.ndim == 3 or total > cap:   # sensitive mode / overflow
+        ph = np.asarray(mk_d)[:, :B, :]
+        fr = np.asarray(fr_d)[:B].astype(np.int64)
+    else:
+        mkc = np.asarray(mkc_d)
+        frc = np.asarray(frc_d)
+        offs = np.cumsum(n_all) - n_all
+        width = max(1, int(n_all.max()))
+        rows = np.repeat(np.arange(Bp), n_all)
+        cols = np.arange(total) - np.repeat(offs, n_all)
+        ph = np.zeros((mkc.shape[0], Bp, width), dtype=mkc.dtype)
+        ph[:, rows, cols] = mkc[:, :total]
+        frd = np.zeros((Bp, width), dtype=frc.dtype)
+        frd[rows, cols] = frc[:total]
+        ph = ph[:, :B, :]
+        fr = frd[:B].astype(np.int64)
     qs = (ph[0] & 0xFFFF).astype(np.int64) + \
         np.asarray(starts[:B], np.int64)[:, None]
     ls = (ph[0] >> 16).astype(np.int64)

@@ -148,3 +148,24 @@ def test_seeding_split_sa_pallas_matches_naive(monkeypatch, gather_k):
     expect = _sorted(naive_lmem_seeds(
         text, qry, min_seed_length=12, max_seed_freq=100, chunk=500))
     assert got == expect
+
+
+def test_seeding_compaction_overflow_falls_back(monkeypatch):
+    """A tiny compaction budget (1 slot/lane) must trip the full-plane
+    fallback fetch and still produce the exact seed set."""
+    from gsalign_tpu.ops import seeding as seeding_mod
+    monkeypatch.setattr(seeding_mod, "_COMPACT_SLOTS", 1)
+    jax.clear_caches()   # _COMPACT_SLOTS is read at trace time
+    rng = np.random.default_rng(5)
+    ref = random_genome(rng, 3000)
+    fm = make_fm(ref)
+    dfm = DeviceFMIndex.from_host(fm)
+    qry = mutate(ref, rng, sub_rate=0.01)
+    q_pos, r_pos, length = find_seeds(
+        dfm, qry, min_seed_length=12, max_seed_freq=100, chunk=1000)
+    got = _sorted(zip(q_pos.tolist(), r_pos.tolist(), length.tolist()))
+    text = fm.genome.codes_fwd_rc()
+    expect = _sorted(naive_lmem_seeds(
+        text, qry, min_seed_length=12, max_seed_freq=100, chunk=1000))
+    assert got == expect
+    jax.clear_caches()
