@@ -199,7 +199,13 @@ def dp_align_batch(q_codes: jnp.ndarray,   # int32 [B, L] ref fragments (pad 4)
                    ql: jnp.ndarray,        # int32 [B]
                    tl: jnp.ndarray,        # int32 [B]
                    L: int) -> jnp.ndarray:
-    """Returns reverse-order op codes uint8 [B, 2L-1] (OP_PAD holes/tail)."""
+    """Returns reverse-order op codes uint8 [B, 2L-1] (OP_PAD holes/tail).
+
+    Codes may arrive int8 (align_fragments uploads 1 byte/base: post-scan
+    H2D on the tunnel runs at ~65 MB/s, so wire bytes matter 4x more than
+    the free on-device widening here)."""
+    q_codes = q_codes.astype(jnp.int32)
+    t_codes = t_codes.astype(jnp.int32)
     d_all = _dp_forward_batch(q_codes, t_codes, ql, tl, L)   # [2L-1, B, L]
     return _traceback_batch(d_all, ql, tl, L)
 
@@ -244,8 +250,10 @@ def align_fragments(ref_frags, qry_frags, bucket_sizes=(64, 128, 256, 512,
             if mesh is not None:
                 from gsalign_tpu.parallel import mesh as mesh_lib
                 B = mesh_lib.pad_to_multiple(B, mesh.devices.size)
-            q = np.full((B, Lb), WILDCARD, dtype=np.int32)
-            t = np.full((B, Lb), WILDCARD, dtype=np.int32)
+            # int8 on the wire (the kernels widen on device): post-scan
+            # uploads over the tunnel run at ~65 MB/s, so 1 byte/base
+            q = np.full((B, Lb), WILDCARD, dtype=np.int8)
+            t = np.full((B, Lb), WILDCARD, dtype=np.int8)
             ql = np.ones(B, dtype=np.int32)
             tl = np.ones(B, dtype=np.int32)
             for bi, i in enumerate(part):

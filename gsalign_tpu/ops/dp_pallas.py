@@ -284,6 +284,8 @@ def dp_align_batch_pallas(q_codes, t_codes, ql, tl, L: int,
     assert L <= MAX_L, f"pallas DP bucket limit is {MAX_L}, got {L}"
     assert L % 16 == 0, f"pallas DP bucket must be 16-aligned, got {L}"
     TB = _tile_b(L)
+    q_codes = q_codes.astype(jnp.int32)   # int8 on the wire (see ops/dp.py)
+    t_codes = t_codes.astype(jnp.int32)
     B0 = q_codes.shape[0]
     B = -(-B0 // TB) * TB
     if B != B0:

@@ -147,10 +147,7 @@ def _meta16(qrow: jnp.ndarray, off: jnp.ndarray):
     return cls12, real3, b1ok, real8, a
 
 
-@partial(jax.jit, static_argnames=("min_seed_length", "max_seed_freq",
-                                   "sensitive", "max_out", "init12",
-                                   "sa_mode"))
-def _seed_scan(dfm: DeviceFMIndex,
+def _seed_scan_impl(dfm: DeviceFMIndex,
                q_rows: jnp.ndarray,      # uint32 [n_qrow, 64] (_build_qrows)
                starts: jnp.ndarray,      # int32 [B]
                emit_stops: jnp.ndarray,  # int32 [B] stop recording starts here
@@ -534,6 +531,36 @@ def _seed_scan(dfm: DeviceFMIndex,
     return meta, mk, fr, mk_c, fr_c
 
 
+_seed_scan = partial(jax.jit, static_argnames=(
+    "min_seed_length", "max_seed_freq", "sensitive", "max_out", "init12",
+    "sa_mode"))(_seed_scan_impl)
+
+
+from functools import lru_cache   # noqa: E402
+
+
+@lru_cache(maxsize=None)
+def _shard_scan(mesh, min_seed_length, max_seed_freq, sensitive, max_out,
+                init12, sa_mode):
+    """shard_map-wrapped scan: each device runs the while_loop INDEPENDENTLY
+    on its lane shard (lanes never interact). Under plain GSPMD the loop
+    condition (a global n_active sum) and the emit-compaction cumsum became
+    per-iteration cross-device collectives, and the Pallas masked SA gather
+    could not partition at all (it forced the whole-plane "xla" fallback).
+    Inside shard_map every device sees only its local lanes, loops for its
+    own trip count, and may use the Pallas gather directly."""
+    from jax.sharding import PartitionSpec as P
+    from gsalign_tpu.parallel.mesh import FRAG_AXIS as F
+    fn = partial(_seed_scan_impl, min_seed_length=min_seed_length,
+                 max_seed_freq=max_seed_freq, sensitive=sensitive,
+                 max_out=max_out, init12=init12, sa_mode=sa_mode)
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), P(), P(F), P(F), P(F), P(F)),
+        out_specs=(P(F), P(None, F), P(F), P(None, F), P(F)),
+        check_vma=False))
+
+
 def _next_pow2(n: int, floor: int = 64) -> int:
     m = floor
     while m < n:
@@ -553,6 +580,8 @@ _SA_GATHER_K = 512          # split-SA compaction slots/iteration (tests
                             # shrink it to exercise the stall-retry path)
 _COMPACT_SLOTS = 64         # emit-compaction budget per lane (mean fill is
                             # ~50 of 128 slots; the full planes back it up)
+_QROWS_CACHE = {}           # one-slot query-window reuse (find_seeds_all)
+_QROWS_CACHE_MAX_BYTES = 512 << 20
 
 
 def _run_scan(dfm, q_rows, starts, emit_stops, ext_stops, hard_stops,
@@ -563,6 +592,7 @@ def _run_scan(dfm, q_rows, starts, emit_stops, ext_stops, hard_stops,
     actually-used slot count). Lane sets beyond MAX_LANES_PER_CALL run as
     independent slabs (lanes don't interact)."""
     B = len(starts)
+    n_shards = 1 if mesh is None else int(mesh.devices.size)
     if B > MAX_LANES_PER_CALL:
         # dispatch every slab before fetching any result: JAX queues the
         # launches asynchronously (and _launch_scan issues the host copies
@@ -576,7 +606,7 @@ def _run_scan(dfm, q_rows, starts, emit_stops, ext_stops, hard_stops,
                 ext_stops[s:e], hard_stops[s:e],
                 min_seed_length, max_seed_freq, sensitive, max_out,
                 mesh=mesh, init12=init12)))
-        outs = [_fetch_scan(n_real, raw, max_out, st)
+        outs = [_fetch_scan(n_real, raw, max_out, st, n_shards)
                 for n_real, st, raw in pending]
         # slabs decode to different hit widths (compact expansion trims to
         # each slab's max out_n): pad to the widest before concatenating
@@ -594,7 +624,7 @@ def _run_scan(dfm, q_rows, starts, emit_stops, ext_stops, hard_stops,
     return _fetch_scan(B, _launch_scan(
         dfm, q_rows, starts, emit_stops, ext_stops, hard_stops,
         min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh,
-        init12=init12), max_out, starts)
+        init12=init12), max_out, starts, n_shards)
 
 
 def _launch_scan(dfm, q_rows, starts, emit_stops, ext_stops,
@@ -624,11 +654,17 @@ def _launch_scan(dfm, q_rows, starts, emit_stops, ext_stops,
     else:
         st, em, ex, hd = (jnp.asarray(st), jnp.asarray(em), jnp.asarray(ex),
                           jnp.asarray(hd))
-    meta, mk, fr, mk_c, fr_c = _seed_scan(
-        dfm, q_rows, st, em, ex, hd,
-        min_seed_length=min_seed_length, max_seed_freq=max_seed_freq,
-        sensitive=sensitive, max_out=max_out, init12=init12,
-        sa_mode=_pick_sa_mode(dfm, mesh))
+    if mesh is not None:
+        scan_fn = _shard_scan(mesh, min_seed_length, max_seed_freq,
+                              sensitive, max_out, init12,
+                              _pick_sa_mode(dfm, mesh))
+        meta, mk, fr, mk_c, fr_c = scan_fn(dfm, q_rows, st, em, ex, hd)
+    else:
+        meta, mk, fr, mk_c, fr_c = _seed_scan(
+            dfm, q_rows, st, em, ex, hd,
+            min_seed_length=min_seed_length, max_seed_freq=max_seed_freq,
+            sensitive=sensitive, max_out=max_out, init12=init12,
+            sa_mode=_pick_sa_mode(dfm, mesh))
     # queue the device->host copies NOW (behind the compute): the later
     # np.asarray calls then wait on data already in flight instead of each
     # paying its own tunnel round trip (~37 ms apiece on the axon link).
@@ -644,50 +680,58 @@ def _launch_scan(dfm, q_rows, starts, emit_stops, ext_stops,
 def _pick_sa_mode(dfm, mesh) -> str:
     """Choose the scan's direct-mode SA resolution path (see _seed_scan).
     Split-SA indexes (rank.from_host moved the SA out of comb_pairs) use
-    the Pallas masked gather when it is usable: single-device (a pallas
-    call does not GSPMD-partition) on a TPU backend that passes the probe,
-    or interpreter mode on CPU (so tests exercise the kernel logic)."""
+    the Pallas masked gather when it is usable: on a TPU backend that
+    passes the probe, or interpreter mode on CPU (so tests exercise the
+    kernel logic). Mesh runs wrap the scan in shard_map (_shard_scan), so
+    the Pallas call runs per-device and needs no GSPMD partitioning."""
     if not dfm.direct_ok or dfm.sa_in_comb:
         return "comb"
-    if mesh is not None and mesh.devices.size > 1:
-        return "xla"
     from gsalign_tpu.ops import gather_pallas
     if jax.default_backend() == "tpu":
         return "pallas" if gather_pallas.probe() else "xla"
     return "pallas_interp"
 
 
-def _fetch_scan(B, raw, max_out, starts):
+def _fetch_scan(B, raw, max_out, starts, n_shards=1):
     """Bring one slab's results to host (the compact copies are already in
     flight, so the np.asarray calls share one round trip) and unpack the
     (qpos_rel|len, k0, freq) planes. The compact flat arrays are expanded
     back to dense [B, width] with a trivial numpy scatter; the full planes
     are fetched (one extra round trip) only when the slab overflowed the
-    compaction budget."""
+    compaction budget. Under shard_map (n_shards > 1) each device compacts
+    its OWN lane shard at local cumsum offsets, so the flat arrays are
+    expanded per contiguous per-device segment."""
     meta_d, mk_d, fr_d, mkc_d, frc_d = raw
     Bp = meta_d.shape[0]
     meta_h = np.asarray(meta_d)
     n_all = meta_h[:, 0]
     n, exits, poison = meta_h[:B, 0], meta_h[:B, 1], meta_h[:B, 2]
     _fetch_scan.last_finish_iters = meta_h[:B, 3]   # diagnostics hook
-    total = int(n_all.sum())
     # compact arrays are 2-D [p, cap]; sensitive mode returns the full
     # 3-D planes in their place
-    cap = mkc_d.shape[1] if mkc_d.ndim == 2 else -1
-    if mkc_d.ndim == 3 or total > cap:   # sensitive mode / overflow
+    dense = mkc_d.ndim == 3
+    if not dense:
+        Bl = Bp // n_shards
+        cap_l = mkc_d.shape[1] // n_shards
+        per_shard = n_all.reshape(n_shards, Bl)
+        dense = bool((per_shard.sum(axis=1) > cap_l).any())   # overflow
+    if dense:   # sensitive mode / compaction overflow
         ph = np.asarray(mk_d)[:, :B, :]
         fr = np.asarray(fr_d)[:B].astype(np.int64)
     else:
         mkc = np.asarray(mkc_d)
         frc = np.asarray(frc_d)
-        offs = np.cumsum(n_all) - n_all
         width = max(1, int(n_all.max()))
-        rows = np.repeat(np.arange(Bp), n_all)
-        cols = np.arange(total) - np.repeat(offs, n_all)
         ph = np.zeros((mkc.shape[0], Bp, width), dtype=mkc.dtype)
-        ph[:, rows, cols] = mkc[:, :total]
         frd = np.zeros((Bp, width), dtype=frc.dtype)
-        frd[rows, cols] = frc[:total]
+        for d in range(n_shards):
+            nd = n_all[d * Bl:(d + 1) * Bl]
+            total = int(nd.sum())
+            offs = np.cumsum(nd) - nd
+            rows = d * Bl + np.repeat(np.arange(Bl), nd)
+            cols = np.arange(total) - np.repeat(offs, nd)
+            ph[:, rows, cols] = mkc[:, d * cap_l:d * cap_l + total]
+            frd[rows, cols] = frc[d * cap_l:d * cap_l + total]
         ph = ph[:, :B, :]
         fr = frd[:B].astype(np.int64)
     qs = (ph[0] & 0xFFFF).astype(np.int64) + \
@@ -747,12 +791,27 @@ def find_seeds_all(dfm: DeviceFMIndex,
     qc = np.full(total, 4, dtype=np.uint8)
     for codes, o in zip(codes_list, offs):
         qc[o:o + len(codes)] = codes
-    # the packed query windows serve BOTH the per-iteration metadata
-    # decode (_meta16) and the direct-extension comparator
-    q_rows = _build_qrows(jnp.asarray(qc))
-    if mesh is not None:
-        from gsalign_tpu.parallel import mesh as mesh_lib
-        q_rows = jax.device_put(q_rows, mesh_lib.replicated(mesh))
+    # The packed query windows serve BOTH the per-iteration metadata
+    # decode (_meta16) and the direct-extension comparator. Re-uploads of
+    # an identical query (warm re-runs) are served from a one-slot device
+    # cache: on this tunnel the FIRST H2D upload of a process runs at
+    # ~1.3 GB/s, but any upload AFTER a seed-scan execution drops to
+    # ~65 MB/s for the rest of the process (measured; trigger unknown) —
+    # 1.5 s for a 100 Mb query. The guard compare is an exact host memcmp
+    # (~10 GB/s), never a hash, so a cache hit can never change results.
+    mesh_key = (None if mesh is None
+                else tuple(d.id for d in mesh.devices.flat))
+    cached = _QROWS_CACHE
+    if (cached.get("key") == (qc.shape[0], mesh_key)
+            and np.array_equal(cached["qc"], qc)):
+        q_rows = cached["rows"]
+    else:
+        q_rows = _build_qrows(jnp.asarray(qc))
+        if mesh is not None:
+            from gsalign_tpu.parallel import mesh as mesh_lib
+            q_rows = jax.device_put(q_rows, mesh_lib.replicated(mesh))
+        if qc.nbytes <= _QROWS_CACHE_MAX_BYTES:
+            cached.update(key=(qc.shape[0], mesh_key), qc=qc, rows=q_rows)
 
     seg_len = max(1, chunk // max(1, n_segments))
     stride = 5 if sensitive else None
