@@ -210,92 +210,134 @@ def dp_align_batch(q_codes: jnp.ndarray,   # int32 [B, L] ref fragments (pad 4)
     return _traceback_batch(d_all, ql, tl, L)
 
 
+class FragmentAligner:
+    """Incremental fragment DP: submit per-chromosome fragment batches as
+    the host plans them, collect all results with ONE device->host fetch.
+
+    Problems bucket by max(len) into padded batches exactly like the
+    one-shot align_fragments; a bucket DISPATCHES (async, sub-ms enqueue)
+    as soon as it holds a full batch, so the DP device work and its
+    uploads run BEHIND the host's chain stage for the next chromosome
+    instead of serializing after it (the reference overlaps these with
+    pthreads, src/GSAlign.cpp:492-526). Leftover partial buckets pool
+    across submits and dispatch at finish() -- cross-chromosome batch
+    packing is preserved for them. Results are independent of packing
+    (each DP problem is its own lane), so outputs are byte-identical to
+    the one-shot path for any submit() split.
+    """
+
+    def __init__(self, bucket_sizes=(64, 128, 256, 512, 1024, 2048, 5120),
+                 batch_cells: int = 1 << 26, dp_fn=None, mesh=None):
+        self.bucket_sizes = bucket_sizes
+        self.batch_cells = batch_cells
+        self.dp_fn = dp_align_batch if dp_fn is None else dp_fn
+        self.mesh = mesh
+        self.frags: list = []          # (rf, qf) by global index
+        self.queue: dict = {}          # Lb -> [global index]
+        self.pending: list = []        # (part_idxs, device_ops)
+
+    def submit(self, ref_frags, qry_frags) -> int:
+        """Queue fragments; returns the base global index of this batch.
+        Full buckets dispatch immediately (async)."""
+        base = len(self.frags)
+        for rf, qf in zip(ref_frags, qry_frags):
+            i = len(self.frags)
+            self.frags.append((rf, qf))
+            m = max(len(rf), len(qf))
+            for Lb in self.bucket_sizes:
+                if m <= Lb:
+                    break
+            else:
+                Lb = int(np.ceil(m / 1024) * 1024)
+            q = self.queue.setdefault(Lb, [])
+            q.append(i)
+            if len(q) >= max(1, self.batch_cells // (Lb * Lb)):
+                self._dispatch(Lb, q)
+                self.queue[Lb] = []
+        return base
+
+    def _dispatch(self, Lb, part):
+        # pad the batch to a power of two so compiled shapes are reused
+        B = 8
+        while B < len(part):
+            B *= 2
+        if self.mesh is not None:
+            from gsalign_tpu.parallel import mesh as mesh_lib
+            B = mesh_lib.pad_to_multiple(B, self.mesh.devices.size)
+        # int8 on the wire (the kernels widen on device): post-scan
+        # uploads over the tunnel run at ~65 MB/s, so 1 byte/base
+        q = np.full((B, Lb), WILDCARD, dtype=np.int8)
+        t = np.full((B, Lb), WILDCARD, dtype=np.int8)
+        ql = np.ones(B, dtype=np.int32)
+        tl = np.ones(B, dtype=np.int32)
+        for bi, i in enumerate(part):
+            rf, qf = self.frags[i]
+            q[bi, :len(rf)] = rf
+            t[bi, :len(qf)] = qf
+            ql[bi] = len(rf)
+            tl[bi] = len(qf)
+        if self.mesh is not None:
+            from gsalign_tpu.parallel import mesh as mesh_lib
+            args = (mesh_lib.shard_lanes(q, self.mesh, WILDCARD),
+                    mesh_lib.shard_lanes(t, self.mesh, WILDCARD),
+                    mesh_lib.shard_lanes(ql, self.mesh, 1),
+                    mesh_lib.shard_lanes(tl, self.mesh, 1))
+        else:
+            args = (jnp.asarray(q), jnp.asarray(t), jnp.asarray(ql),
+                    jnp.asarray(tl))
+        self.pending.append((list(part), self.dp_fn(*args, Lb)))
+
+    def finish(self) -> list:
+        """Dispatch leftovers, fetch everything in ONE device->host
+        transfer (each fetch pays a full tunnel round trip, which
+        dominates the actual DP compute at typical gap-problem counts),
+        and return per-pair FORWARD-order op arrays by submit order."""
+        for Lb, part in sorted(self.queue.items()):
+            if part:
+                self._dispatch(Lb, part)
+        self.queue = {}
+        results: list = [None] * len(self.frags)
+        if not self.pending:
+            return results
+        flat = (jnp.concatenate([d.reshape(-1) for _, d in self.pending])
+                if len(self.pending) > 1
+                else self.pending[0][1].reshape(-1))
+        try:
+            # queue the host copy behind the compute so np.asarray waits
+            # on in-flight data instead of paying its own round trip
+            flat.copy_to_host_async()
+        except Exception:
+            pass
+        flat_h = np.asarray(flat)
+        off = 0
+        for part, dev_ops in self.pending:
+            bp, w = dev_ops.shape
+            ops = flat_h[off:off + bp * w].reshape(bp, w)
+            off += bp * w
+            for bi, i in enumerate(part):
+                o = ops[bi]
+                o = o[o != OP_PAD][::-1]   # forward order
+                results[i] = o
+        self.pending = []
+        return results
+
+
 def align_fragments(ref_frags, qry_frags, bucket_sizes=(64, 128, 256, 512,
                                                         1024, 2048, 5120),
                     batch_cells: int = 1 << 26,
                     dp_fn=None, mesh=None) -> list:
     """Align a list of (ref_codes, qry_codes) numpy fragment pairs.
 
-    Buckets problems by max(len) into padded batches, runs the device kernel
-    per bucket, returns per-pair op lists in FORWARD order (list of numpy
-    uint8 arrays of {OP_M, OP_D, OP_I}). With a mesh, each batch's problem
-    axis is sharded over the "frag" devices.
+    One-shot wrapper over FragmentAligner: buckets problems by max(len)
+    into padded batches, runs the device kernel per bucket, returns
+    per-pair op lists in FORWARD order (list of numpy uint8 arrays of
+    {OP_M, OP_D, OP_I}). With a mesh, each batch's problem axis is
+    sharded over the "frag" devices.
     """
-    if dp_fn is None:
-        dp_fn = dp_align_batch
-    n = len(ref_frags)
-    results: list = [None] * n
-    order = sorted(range(n), key=lambda i: max(len(ref_frags[i]),
-                                               len(qry_frags[i])))
-    buckets = {}
-    for i in order:
-        m = max(len(ref_frags[i]), len(qry_frags[i]))
-        for Lb in bucket_sizes:
-            if m <= Lb:
-                buckets.setdefault(Lb, []).append(i)
-                break
-        else:
-            buckets.setdefault(int(np.ceil(m / 1024) * 1024), []).append(i)
-
-    # dispatch every bucket batch before fetching any result (async queue)
-    pending = []
-    for Lb, idxs in sorted(buckets.items()):
-        max_batch = max(1, batch_cells // (Lb * Lb))
-        for s in range(0, len(idxs), max_batch):
-            part = idxs[s: s + max_batch]
-            # pad the batch to a power of two so compiled shapes are reused
-            B = 8
-            while B < len(part):
-                B *= 2
-            if mesh is not None:
-                from gsalign_tpu.parallel import mesh as mesh_lib
-                B = mesh_lib.pad_to_multiple(B, mesh.devices.size)
-            # int8 on the wire (the kernels widen on device): post-scan
-            # uploads over the tunnel run at ~65 MB/s, so 1 byte/base
-            q = np.full((B, Lb), WILDCARD, dtype=np.int8)
-            t = np.full((B, Lb), WILDCARD, dtype=np.int8)
-            ql = np.ones(B, dtype=np.int32)
-            tl = np.ones(B, dtype=np.int32)
-            for bi, i in enumerate(part):
-                rf, qf = ref_frags[i], qry_frags[i]
-                q[bi, :len(rf)] = rf
-                t[bi, :len(qf)] = qf
-                ql[bi] = len(rf)
-                tl[bi] = len(qf)
-            if mesh is not None:
-                from gsalign_tpu.parallel import mesh as mesh_lib
-                args = (mesh_lib.shard_lanes(q, mesh, WILDCARD),
-                        mesh_lib.shard_lanes(t, mesh, WILDCARD),
-                        mesh_lib.shard_lanes(ql, mesh, 1),
-                        mesh_lib.shard_lanes(tl, mesh, 1))
-            else:
-                args = (jnp.asarray(q), jnp.asarray(t), jnp.asarray(ql),
-                        jnp.asarray(tl))
-            pending.append((part, dp_fn(*args, Lb)))
-    if not pending:
-        return results
-    # ONE device->host transfer for all batches: each fetch pays a full
-    # tunnel round trip, which dominates the actual DP compute at typical
-    # gap-problem counts
-    flat = (jnp.concatenate([d.reshape(-1) for _, d in pending])
-            if len(pending) > 1 else pending[0][1].reshape(-1))
-    try:
-        # queue the host copy behind the compute so np.asarray waits on
-        # in-flight data instead of paying its own tunnel round trip
-        flat.copy_to_host_async()
-    except Exception:
-        pass
-    flat_h = np.asarray(flat)
-    off = 0
-    for part, dev_ops in pending:
-        bp, w = dev_ops.shape
-        ops = flat_h[off:off + bp * w].reshape(bp, w)
-        off += bp * w
-        for bi, i in enumerate(part):
-            o = ops[bi]
-            o = o[o != OP_PAD][::-1]   # forward order
-            results[i] = o
-    return results
+    fa = FragmentAligner(bucket_sizes=bucket_sizes, batch_cells=batch_cells,
+                         dp_fn=dp_fn, mesh=mesh)
+    fa.submit(ref_frags, qry_frags)
+    return fa.finish()
 
 
 def ops_to_alignment(ops: np.ndarray, ref_chars: np.ndarray,

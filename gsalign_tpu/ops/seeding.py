@@ -632,7 +632,12 @@ def _launch_scan(dfm, q_rows, starts, emit_stops, ext_stops,
                  max_out, mesh=None, init12=True):
     """Dispatch one scan slab (async); returns the raw device arrays."""
     B = len(starts)
-    Bp = _next_pow2(B)
+    # pad lanes to pow2 OR 1.5*pow2 (sqrt(2)-ish steps): every per-lane
+    # vector op in the while body scales with Bp, so the pow2-only policy
+    # wasted up to 2x (e.g. 1200 lanes -> 2048); the extra shape family
+    # stays compile-bounded (two shapes per octave)
+    p2 = _next_pow2(B)
+    Bp = 3 * p2 // 4 if B <= 3 * p2 // 4 and (3 * p2 // 4) % 64 == 0 else p2
     if mesh is not None:
         from gsalign_tpu.parallel import mesh as mesh_lib
         Bp = mesh_lib.pad_to_multiple(Bp, mesh.devices.size)

@@ -108,11 +108,16 @@ def compare_genomes(fm: FMIndex,
             chunk=cfg.seed_exploration_chunk,
             mesh=mesh)
 
-    # Pass 1 (host): chain stages + DP-pair planning per chromosome; DP
-    # fragments POOL across chromosomes so the device sees one bucketed
-    # batch (launch + fetch round trips dominate the actual DP compute)
+    # Pass 1 (host): chain stages + DP-pair planning per chromosome. DP
+    # fragments stream into an incremental aligner: full buckets DISPATCH
+    # while later chromosomes are still chaining on host (device/host
+    # overlap), partial buckets POOL across chromosomes, and ALL results
+    # arrive in one fetch (launch + fetch round trips dominate the actual
+    # DP compute).
+    aligner = dp_ops.FragmentAligner(
+        bucket_sizes=cfg.dp_buckets, batch_cells=cfg.dp_batch_cells,
+        dp_fn=select_dp_fn(cfg, dp_fn), mesh=mesh)
     planned = []                   # (qname, qry_chars, blocks, jobs, lo, hi)
-    all_rf, all_qf = [], []
     for qc_idx, (qname, qry_chars) in enumerate(query_records):
         log(f"\tProcess query chromosome: {qname}...", verbose)
         q_pos, r_pos, length = all_seeds[qc_idx]
@@ -161,26 +166,20 @@ def compare_genomes(fm: FMIndex,
                 if b.score > 0:
                     blk_ops.fill_block_gaps(b)
 
-        # S9a: classify pairs, collect this chromosome's DP fragments
+        # S9a: classify pairs, submit this chromosome's DP fragments (full
+        # buckets start on device now, behind the next chromosome's chain)
         with timer.stage("align"):
             jobs, rf, qf = plan_alignments(
                 blocks, qry_chars, ref_chars,
                 ref_codes=ref_codes_full, qry_codes=qcodes_list[qc_idx])
-            lo = len(all_rf)
-            all_rf.extend(rf)
-            all_qf.extend(qf)
+            lo = aligner.submit(rf, qf)
             planned.append((qname, qry_chars, qcodes_list[qc_idx], blocks,
-                            jobs, lo, len(all_rf)))
+                            jobs, lo, lo + len(rf)))
 
-    # S9b: ONE device DP batch over every chromosome's gap fragments
+    # S9b: dispatch leftover partial buckets, ONE fetch for every
+    # chromosome's gap fragments
     with device_trace(), timer.stage("align"):
-        ops_all = []
-        if all_rf:
-            sel_fn = select_dp_fn(cfg, dp_fn)
-            kwargs = {} if sel_fn is None else {"dp_fn": sel_fn}
-            ops_all = dp_ops.align_fragments(
-                all_rf, all_qf, bucket_sizes=cfg.dp_buckets,
-                batch_cells=cfg.dp_batch_cells, mesh=mesh, **kwargs)
+        ops_all = aligner.finish()
 
     # Pass 2 (host): expand alignments, filter, emit — chromosome order
     first_out = True
