@@ -293,8 +293,9 @@ class FragmentAligner:
         dominates the actual DP compute at typical gap-problem counts),
         and return per-pair FORWARD-order op arrays by submit order."""
         for Lb, part in sorted(self.queue.items()):
-            if part:
-                self._dispatch(Lb, part)
+            mb = max(1, self.batch_cells // (Lb * Lb))
+            for s in range(0, len(part), mb):
+                self._dispatch(Lb, part[s:s + mb])
         self.queue = {}
         results: list = [None] * len(self.frags)
         if not self.pending:

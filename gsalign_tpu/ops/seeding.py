@@ -793,30 +793,36 @@ def find_seeds_all(dfm: DeviceFMIndex,
             chunk_bounds.append((s, min(s + chunk, off + L)))
         off += n_chunks * chunk
     total = off
-    qc = np.full(total, 4, dtype=np.uint8)
-    for codes, o in zip(codes_list, offs):
-        qc[o:o + len(codes)] = codes
     # The packed query windows serve BOTH the per-iteration metadata
     # decode (_meta16) and the direct-extension comparator. Re-uploads of
     # an identical query (warm re-runs) are served from a one-slot device
     # cache: on this tunnel the FIRST H2D upload of a process runs at
     # ~1.3 GB/s, but any upload AFTER a seed-scan execution drops to
     # ~65 MB/s for the rest of the process (measured; trigger unknown) —
-    # 1.5 s for a 100 Mb query. The guard compare is an exact host memcmp
-    # (~10 GB/s), never a hash, so a cache hit can never change results.
+    # 1.5 s for a 100 Mb query. The guard is OBJECT IDENTITY of every
+    # codes array (the cache holds strong refs, so ids cannot be reused
+    # while cached): exact by construction, and it also skips the qc
+    # concat rebuild (np.full alone is 1.9 s at 250 Mb on this host).
+    # pipeline/align.py memoizes chars_to_codes so identity survives
+    # across compare_genomes calls.
     mesh_key = (None if mesh is None
                 else tuple(d.id for d in mesh.devices.flat))
     cached = _QROWS_CACHE
-    if (cached.get("key") == (qc.shape[0], mesh_key)
-            and np.array_equal(cached["qc"], qc)):
+    if (cached.get("mesh_key") == mesh_key and cached.get("chunk") == chunk
+            and len(cached.get("codes", ())) == len(codes_list)
+            and all(a is b for a, b in zip(cached["codes"], codes_list))):
         q_rows = cached["rows"]
     else:
+        qc = np.full(total, 4, dtype=np.uint8)
+        for codes, o in zip(codes_list, offs):
+            qc[o:o + len(codes)] = codes
         q_rows = _build_qrows(jnp.asarray(qc))
         if mesh is not None:
             from gsalign_tpu.parallel import mesh as mesh_lib
             q_rows = jax.device_put(q_rows, mesh_lib.replicated(mesh))
         if qc.nbytes <= _QROWS_CACHE_MAX_BYTES:
-            cached.update(key=(qc.shape[0], mesh_key), qc=qc, rows=q_rows)
+            cached.update(mesh_key=mesh_key, chunk=chunk,
+                          codes=list(codes_list), rows=q_rows)
 
     seg_len = max(1, chunk // max(1, n_segments))
     stride = 5 if sensitive else None

@@ -232,10 +232,11 @@ def write_maf(path: str, blocks: List[Block], qry_name: str,
             fh.write(f"a score={score}\n".encode())
             fh.write(f"s ref.{ref_name} {r_start} "
                      f"{blk.aln_len - gaps1} + {chr_len} ".encode())
-            fh.write(a1.tobytes())
+            # buffer-protocol write: .tobytes() copied each multi-MB row
+            fh.write(memoryview(np.ascontiguousarray(a1)))
             fh.write(f"\ns qry.{qn} {q_start} "
                      f"{blk.aln_len - gaps2} + {qry_total} ".encode())
-            fh.write(a2.tobytes())
+            fh.write(memoryview(np.ascontiguousarray(a2)))
             fh.write(b"\n\n")
 
 
