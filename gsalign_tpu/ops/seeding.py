@@ -593,38 +593,42 @@ def _run_scan(dfm, q_rows, starts, emit_stops, ext_stops, hard_stops,
     independent slabs (lanes don't interact)."""
     B = len(starts)
     n_shards = 1 if mesh is None else int(mesh.devices.size)
-    if B > MAX_LANES_PER_CALL:
-        # dispatch every slab before fetching any result: JAX queues the
-        # launches asynchronously (and _launch_scan issues the host copies
-        # asynchronously too), so the whole multi-slab run pays ONE fetch
-        # round trip
-        pending = []
-        for s in range(0, B, MAX_LANES_PER_CALL):
-            e = min(s + MAX_LANES_PER_CALL, B)
-            pending.append((e - s, starts[s:e], _launch_scan(
-                dfm, q_rows, starts[s:e], emit_stops[s:e],
-                ext_stops[s:e], hard_stops[s:e],
-                min_seed_length, max_seed_freq, sensitive, max_out,
-                mesh=mesh, init12=init12)))
-        outs = [_fetch_scan(n_real, raw, max_out, st, n_shards)
-                for n_real, st, raw in pending]
-        # slabs decode to different hit widths (compact expansion trims to
-        # each slab's max out_n): pad to the widest before concatenating
-        width = max(o[0].shape[1] for o in outs)
+    # dispatch every slab before fetching any result: JAX queues the
+    # launches asynchronously (and _launch_scan issues the host copies
+    # asynchronously too), so the whole multi-slab run pays ONE fetch
+    # round trip
+    pending = []
+    for s in range(0, B, MAX_LANES_PER_CALL):
+        e = min(s + MAX_LANES_PER_CALL, B)
+        pending.append((e - s, starts[s:e], _launch_scan(
+            dfm, q_rows, starts[s:e], emit_stops[s:e],
+            ext_stops[s:e], hard_stops[s:e],
+            min_seed_length, max_seed_freq, sensitive, max_out,
+            mesh=mesh, init12=init12)))
+    # No cross-slab concatenation and no whole-plane int64 widening:
+    # both were measured ~1 s each of pure page-faulting allocation at
+    # 250 Mb on this host — consumers take per-lane views instead.
+    return ScanResults(
+        [(st,) + _fetch_scan(n_real, raw, max_out, n_shards)
+         for n_real, st, raw in pending])
 
-        def padw(a):
-            if a.ndim == 1 or a.shape[1] == width:
-                return a
-            out = np.zeros((a.shape[0], width), dtype=a.dtype)
-            out[:, :a.shape[1]] = a
-            return out
 
-        return tuple(np.concatenate([padw(o[j]) for o in outs])
-                     for j in range(7))
-    return _fetch_scan(B, _launch_scan(
-        dfm, q_rows, starts, emit_stops, ext_stops, hard_stops,
-        min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh,
-        init12=init12), max_out, starts, n_shards)
+class ScanResults:
+    """Seed-scan outputs held per slab; .lane(i) returns one lane's
+    decoded views: (qs_abs int64, ls, k0, fr, n, exit_pos, poison)."""
+
+    def __init__(self, slabs):
+        self.slabs = slabs
+        self._bounds = np.cumsum([s[1].shape[0] for s in slabs])
+
+    def lane(self, i):
+        s = int(np.searchsorted(self._bounds, i, side="right"))
+        li = i - (int(self._bounds[s - 1]) if s else 0)
+        starts, qs_rel, ls, k0, fr, n, exits, poi = self.slabs[s]
+        m = int(n[li])
+        qs = qs_rel[li, :m].astype(np.int64) + int(starts[li])
+        return (qs, ls[li, :m], k0[li, :m], fr[li, :m], m,
+                int(exits[li]), int(poi[li]))
 
 
 def _launch_scan(dfm, q_rows, starts, emit_stops, ext_stops,
@@ -697,7 +701,7 @@ def _pick_sa_mode(dfm, mesh) -> str:
     return "pallas_interp"
 
 
-def _fetch_scan(B, raw, max_out, starts, n_shards=1):
+def _fetch_scan(B, raw, max_out, n_shards=1):
     """Bring one slab's results to host (the compact copies are already in
     flight, so the np.asarray calls share one round trip) and unpack the
     (qpos_rel|len, k0, freq) planes. The compact flat arrays are expanded
@@ -705,7 +709,8 @@ def _fetch_scan(B, raw, max_out, starts, n_shards=1):
     are fetched (one extra round trip) only when the slab overflowed the
     compaction budget. Under shard_map (n_shards > 1) each device compacts
     its OWN lane shard at local cumsum offsets, so the flat arrays are
-    expanded per contiguous per-device segment."""
+    expanded per contiguous per-device segment. Planes stay int32/int8
+    (per-lane consumers widen their tiny slices)."""
     meta_d, mk_d, fr_d, mkc_d, frc_d = raw
     Bp = meta_d.shape[0]
     meta_h = np.asarray(meta_d)
@@ -722,7 +727,7 @@ def _fetch_scan(B, raw, max_out, starts, n_shards=1):
         dense = bool((per_shard.sum(axis=1) > cap_l).any())   # overflow
     if dense:   # sensitive mode / compaction overflow
         ph = np.asarray(mk_d)[:, :B, :]
-        fr = np.asarray(fr_d)[:B].astype(np.int64)
+        fr = np.asarray(fr_d)[:B]
     else:
         mkc = np.asarray(mkc_d)
         frc = np.asarray(frc_d)
@@ -738,16 +743,15 @@ def _fetch_scan(B, raw, max_out, starts, n_shards=1):
             ph[:, rows, cols] = mkc[:, d * cap_l:d * cap_l + total]
             frd[rows, cols] = frc[d * cap_l:d * cap_l + total]
         ph = ph[:, :B, :]
-        fr = frd[:B].astype(np.int64)
-    qs = (ph[0] & 0xFFFF).astype(np.int64) + \
-        np.asarray(starts[:B], np.int64)[:, None]
-    ls = (ph[0] >> 16).astype(np.int64)
+        fr = frd[:B]
+    qs_rel = (ph[0] & 0xFFFF).astype(np.int32)   # lane-relative positions
+    ls = (ph[0] >> 16).astype(np.int32)
     if ph.shape[0] == 3:     # wide: k0 split into lo/hi words
         k0 = (ph[1].astype(np.uint64)
               | (ph[2].astype(np.uint64) << 32)).view(np.int64)
     else:
-        k0 = ph[1].view(np.int32).astype(np.int64)
-    return (qs, ls, k0, fr, n, exits, poison)
+        k0 = ph[1].view(np.int32)                # zero-copy
+    return (qs_rel, ls, k0, fr, n, exits, poison)
 
 
 def find_seeds_all(dfm: DeviceFMIndex,
@@ -851,18 +855,17 @@ def find_seeds_all(dfm: DeviceFMIndex,
             p += seg_len
             k += 1
     lanes = {}
-    qs, ls, k0, fr, n, exits, poi = _run_scan(
+    res = _run_scan(
         dfm, q_rows, np.asarray(lane_starts, np.int32),
         np.asarray(lane_emit, np.int32), np.asarray(lane_ext, np.int32),
         np.asarray(lane_hard, np.int32),
         min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh,
         init12=init12)
     for i, key in enumerate(lane_key):
-        m = n[i]
-        starts_i = qs[i, :m]
-        adv = starts_i + (stride if stride else ls[i, :m] + 1)
-        lanes[key] = (int(lane_starts[i]), starts_i, ls[i, :m], k0[i, :m],
-                      fr[i, :m], adv, int(exits[i]), int(poi[i]))
+        starts_i, ls_i, k0_i, fr_i, m, exit_i, poi_i = res.lane(i)
+        adv = starts_i + (stride if stride else ls_i + 1)
+        lanes[key] = (int(lane_starts[i]), starts_i, ls_i, k0_i,
+                      fr_i, adv, exit_i, poi_i)
 
     # --- reconciliation (+ fixup rounds) ---
     hits_q, hits_l, hits_k0, hits_fr = [], [], [], []
@@ -917,18 +920,17 @@ def find_seeds_all(dfm: DeviceFMIndex,
         f_emit = np.asarray([f[3] for f in fixups], np.int32)
         f_ext = np.asarray([f[4] for f in fixups], np.int32)
         # fixup lanes run with the REAL chunk-end clip: never poisoned
-        qs, ls, k0, fr, n, exits, poi = _run_scan(
+        res = _run_scan(
             dfm, q_rows, f_starts, f_emit, f_ext, f_ext,
             min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh,
             init12=init12)
         for i, (ci, k, e, _, _) in enumerate(fixups):
-            m = n[i]
-            starts_i = qs[i, :m]
-            adv = starts_i + (stride if stride else ls[i, :m] + 1)
+            starts_i, ls_i, k0_i, fr_i, m, exit_i, poi_i = res.lane(i)
+            adv = starts_i + (stride if stride else ls_i + 1)
             # fixup lanes run with the real clip so they are never
             # boundary-poisoned, but a full emit buffer still poisons
-            lanes[(ci, k)] = (int(e), starts_i, ls[i, :m], k0[i, :m],
-                              fr[i, :m], adv, int(exits[i]), int(poi[i]))
+            lanes[(ci, k)] = (int(e), starts_i, ls_i, k0_i,
+                              fr_i, adv, exit_i, poi_i)
     else:
         assert done.all(), "seed reconciliation did not converge"
 
