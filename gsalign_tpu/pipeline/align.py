@@ -202,7 +202,14 @@ def compare_genomes(fm: FMIndex,
     with device_trace(), timer.stage("align"):
         ops_all = aligner.finish()
 
-    # Pass 2 (host): expand alignments, filter, emit — chromosome order
+    # Pass 2 (host): expand alignments, filter, emit — chromosome order.
+    # MAF disk writes go through an ordered background sink so they
+    # overlap the variant walk (file writes release the GIL); assembly
+    # and the clip mutations stay synchronous, so byte output and the
+    # variant inputs are unchanged.
+    from gsalign_tpu.pipeline.output import AsyncSink
+    sink = AsyncSink() if (output_prefix and cfg.output_format == 1) \
+        else None
     first_out = True
     for qname, qry_chars, qry_codes, blocks, jobs, lo, hi in planned:
         with timer.stage("align"):
@@ -239,7 +246,7 @@ def compare_genomes(fm: FMIndex,
             with timer.stage("output"):
                 if cfg.output_format == 1:
                     write_maf(maf_path, blocks, qname, qry_chars, chr_index,
-                              first_out, cfg.allow_duplication)
+                              first_out, cfg.allow_duplication, sink=sink)
                 elif cfg.output_format == 2:
                     write_aln(aln_path, blocks, qname, qry_chars, chr_index,
                               first_out, cfg.allow_duplication)
@@ -259,6 +266,9 @@ def compare_genomes(fm: FMIndex,
         results.append(ChromosomeResult(qname, blocks, n, aln_len_sum,
                                         aln_score_sum))
 
+    if sink is not None:
+        with timer.stage("output"):   # residual disk time not yet overlapped
+            sink.close()
     if stats.local_alignment_num > 0:
         log(f"\tAlignment#={stats.local_alignment_num} "
             f"(total alignment length={stats.total_alignment_length}) "

@@ -33,6 +33,45 @@ def self_complementary(arr: np.ndarray) -> np.ndarray:
     return REVERSE_MAP[arr[::-1]]
 
 
+class AsyncSink:
+    """Ordered background file writer: row ASSEMBLY (and the block clip
+    mutations variant calling depends on) stays synchronous in the caller;
+    only the disk writes move to one FIFO thread, overlapping the variant
+    walk of the same chromosome (file writes release the GIL). close()
+    joins and re-raises any writer error."""
+
+    def __init__(self):
+        import queue
+        import threading
+        self._q = queue.Queue(maxsize=8)
+        self._err = None
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            path, mode, chunks = item
+            try:
+                if self._err is None:
+                    with open(path, mode) as fh:
+                        for c in chunks:
+                            fh.write(c)
+            except BaseException as e:      # propagate on close()
+                self._err = e
+
+    def submit(self, path: str, mode: str, chunks: list):
+        self._q.put((path, mode, chunks))
+
+    def close(self):
+        self._q.put(None)
+        self._t.join()
+        if self._err is not None:
+            raise self._err
+
+
 def _build_rows(blk: Block, qry_chars: np.ndarray, ref_chars: np.ndarray):
     """Concatenate per-pair rows (src/tools.cpp:170-184): seed pairs copy the
     query characters into BOTH rows; non-seed pairs use their (possibly
@@ -200,44 +239,53 @@ def _pad_names(qry_name: str, ref_name: str):
 
 def write_maf(path: str, blocks: List[Block], qry_name: str,
               qry_chars: np.ndarray, chr_index: ChrLocIndex,
-              first_chromosome: bool, allow_duplication: bool) -> None:
-    """OutputMAF (src/tools.cpp:149-220)."""
+              first_chromosome: bool, allow_duplication: bool,
+              sink: AsyncSink = None) -> None:
+    """OutputMAF (src/tools.cpp:149-220). Row assembly (and the clip
+    mutations the variant walk depends on) happens here, synchronously;
+    with a sink the assembled chunks are handed to its writer thread so
+    the disk time overlaps the rest of the chromosome's host work."""
     g = chr_index.genome
     qry_total = int(qry_chars.shape[0])
     mode = "wb" if first_chromosome else "ab"
-    # binary writes: the aligned rows are multi-MB uint8 arrays; routing
-    # them through str (latin1 decode + text-mode re-encode) copied each
-    # row twice at 100 Mb scale
+    chunks = []
+    if first_chromosome:
+        chunks.append(b"##maf version=1\n")
+    for blk in blocks:
+        if not allow_duplication and blk.b_dup:
+            continue
+        ref_idx = blk.coor.chromosome_idx
+        ref_name = g.names[ref_idx]
+        qn, _ = _pad_names(qry_name, ref_name)
+        a1, a2, gaps1, gaps2 = _emit_rows(
+            blk, qry_chars, chr_index.genome.chars_fwd_rc(), chr_index,
+            rev=not blk.coor.b_dir)
+        score = 1 if blk.b_dup else blk.score
+        chr_len = int(g.lengths[ref_idx])
+        if blk.coor.b_dir:
+            r_start = blk.coor.g_pos - 1
+            q_start = int(blk.q_pos[0])
+        else:
+            r_last = int(blk.r_pos[-1] + blk.r_len[-1] - 1)
+            r_start = gen_coordinate_info(chr_index, r_last).g_pos - 1
+            q_start = qry_total - int(blk.q_pos[-1] + blk.q_len[-1])
+        chunks.append(f"a score={score}\n".encode())
+        chunks.append(f"s ref.{ref_name} {r_start} "
+                      f"{blk.aln_len - gaps1} + {chr_len} ".encode())
+        # buffer-protocol write: .tobytes() copied each multi-MB row
+        # (the rows are fresh _emit_rows outputs, never mutated later,
+        # so handing views to the writer thread is safe)
+        chunks.append(memoryview(np.ascontiguousarray(a1)))
+        chunks.append(f"\ns qry.{qn} {q_start} "
+                      f"{blk.aln_len - gaps2} + {qry_total} ".encode())
+        chunks.append(memoryview(np.ascontiguousarray(a2)))
+        chunks.append(b"\n\n")
+    if sink is not None:
+        sink.submit(path, mode, chunks)
+        return
     with open(path, mode) as fh:
-        if first_chromosome:
-            fh.write(b"##maf version=1\n")
-        for blk in blocks:
-            if not allow_duplication and blk.b_dup:
-                continue
-            ref_idx = blk.coor.chromosome_idx
-            ref_name = g.names[ref_idx]
-            qn, _ = _pad_names(qry_name, ref_name)
-            a1, a2, gaps1, gaps2 = _emit_rows(
-                blk, qry_chars, chr_index.genome.chars_fwd_rc(), chr_index,
-                rev=not blk.coor.b_dir)
-            score = 1 if blk.b_dup else blk.score
-            chr_len = int(g.lengths[ref_idx])
-            if blk.coor.b_dir:
-                r_start = blk.coor.g_pos - 1
-                q_start = int(blk.q_pos[0])
-            else:
-                r_last = int(blk.r_pos[-1] + blk.r_len[-1] - 1)
-                r_start = gen_coordinate_info(chr_index, r_last).g_pos - 1
-                q_start = qry_total - int(blk.q_pos[-1] + blk.q_len[-1])
-            fh.write(f"a score={score}\n".encode())
-            fh.write(f"s ref.{ref_name} {r_start} "
-                     f"{blk.aln_len - gaps1} + {chr_len} ".encode())
-            # buffer-protocol write: .tobytes() copied each multi-MB row
-            fh.write(memoryview(np.ascontiguousarray(a1)))
-            fh.write(f"\ns qry.{qn} {q_start} "
-                     f"{blk.aln_len - gaps2} + {qry_total} ".encode())
-            fh.write(memoryview(np.ascontiguousarray(a2)))
-            fh.write(b"\n\n")
+        for c in chunks:
+            fh.write(c)
 
 
 def write_aln(path: str, blocks: List[Block], qry_name: str,
