@@ -171,10 +171,16 @@ def main():
         headline["metric"] = "pair_align_wallclock"
         headline["config"] = tag
 
-    # DP kernel north star (scan path; Pallas path printed when available)
+    # DP kernel north star (scan path; Pallas path printed when
+    # available). L=128 matches the pipeline's median gap bucket; L=256
+    # is the Pallas kernel's largest in-VMEM bucket and its best ratio.
     from gsalign_tpu.ops import dp as dp_ops
     print(json.dumps({"metric": "dp_scan_gcells_per_s",
                       "value": round(dp_gcells(dp_ops.dp_align_batch), 3),
+                      "unit": "Gcells/s", "vs_baseline": None}), flush=True)
+    print(json.dumps({"metric": "dp_scan_gcells_per_s_L256",
+                      "value": round(dp_gcells(dp_ops.dp_align_batch,
+                                               L=256, B=1024), 3),
                       "unit": "Gcells/s", "vs_baseline": None}), flush=True)
     try:
         from gsalign_tpu.ops import dp_pallas
@@ -182,6 +188,11 @@ def main():
             print(json.dumps({
                 "metric": "dp_pallas_gcells_per_s",
                 "value": round(dp_gcells(dp_pallas.dp_align_batch_pallas), 3),
+                "unit": "Gcells/s", "vs_baseline": None}), flush=True)
+            print(json.dumps({
+                "metric": "dp_pallas_gcells_per_s_L256",
+                "value": round(dp_gcells(dp_pallas.dp_align_batch_pallas,
+                                         L=256, B=1024), 3),
                 "unit": "Gcells/s", "vs_baseline": None}), flush=True)
     except Exception:
         pass
