@@ -297,6 +297,24 @@ class FragmentAligner:
             for s in range(0, len(part), mb):
                 self._dispatch(Lb, part[s:s + mb])
         self.queue = {}
+        import os
+        if os.environ.get("GSALIGN_DP_STATS"):
+            import collections
+            hist = collections.Counter()
+            cells = collections.Counter()
+            for rf, qf in self.frags:
+                m = max(len(rf), len(qf))
+                for Lb in self.bucket_sizes:
+                    if m <= Lb:
+                        break
+                else:
+                    Lb = int(np.ceil(m / 1024) * 1024)
+                hist[Lb] += 1
+                cells[Lb] += Lb * Lb
+            import sys
+            print("[dp_stats] " + " ".join(
+                f"L{Lb}:n={hist[Lb]},Mcells={cells[Lb]/1e6:.0f}"
+                for Lb in sorted(hist)), file=sys.stderr)
         results: list = [None] * len(self.frags)
         if not self.pending:
             return results

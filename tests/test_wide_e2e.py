@@ -46,14 +46,19 @@ def _mutate(sl, rng, rate=0.005):
 
 
 def test_wide_seed_coordinates_beyond_2g(wide_fm):
-    """RC-strand seeds resolve to r_pos >= 2^31 (int64 coordinates live)."""
+    """RC-strand seeds resolve to r_pos >= 2^31 (int64 coordinates live).
+
+    The query is the RC of the START of the forward genome: a match of
+    RC(fwd[j..]) sits at text position 2N - j - len, so the true loci land
+    deterministically in the top ~2 Mb of the fwd+RC text — beyond 2^31
+    for this genome size. (A slice from the END of fwd mirrors to
+    ~N ≈ 1.08e9 < 2^31 and can never satisfy the assertion.)"""
     from gsalign_tpu.ops.rank import DeviceFMIndex
     from gsalign_tpu.ops.seeding import find_seeds
     dfm = DeviceFMIndex.from_host(wide_fm)
     codes = wide_fm.genome.codes_fwd
-    s = GENOME_LEN - 2_000_000
     rng = np.random.default_rng(7)
-    sl = _mutate(codes[s:s + 200_000], rng)
+    sl = _mutate(codes[:200_000], rng)
     qry = (3 - sl[::-1]).astype(np.uint8)      # RC -> hits in the RC half
     q_pos, r_pos, length = find_seeds(dfm, qry)
     assert len(q_pos) > 100
