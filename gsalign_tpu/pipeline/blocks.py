@@ -289,17 +289,47 @@ def fill_block_gaps(blk: Block) -> None:
     g_rpos = blk.r_pos[idx] + blk.r_len[idx]
     g_qlen = q_gap[idx]
     g_rlen = r_gap[idx]
-    all_qpos = np.concatenate([blk.q_pos, g_qpos])
-    all_rpos = np.concatenate([blk.r_pos, g_rpos])
-    all_qlen = np.concatenate([blk.q_len, g_qlen])
-    all_rlen = np.concatenate([blk.r_len, g_rlen])
-    all_seed = np.concatenate([blk.b_seed,
-                               np.zeros(idx.size, dtype=bool)])
-    order = np.lexsort((all_rpos, all_qpos))
-    blk.q_pos = all_qpos[order]
-    blk.r_pos = all_rpos[order]
-    blk.q_len = all_qlen[order]
-    blk.r_len = all_rlen[order]
-    blk.b_seed = all_seed[order]
+    # Direct interleave: with pairs sorted and non-overlapping (this runs
+    # after RemoveOverlaps), gap i sorts strictly before pair idx[i]+1
+    # (q_gap > 0 gives a smaller qPos; q_gap == 0 needs r_gap > 0, a
+    # smaller rPos at equal qPos) and never before its own pair (lexsort
+    # stability keeps the pair first on equal keys) — so each gap lands
+    # right after its pair, no O(n log n) lexsort. A vectorized
+    # monotonicity check guards the invariant and falls back to the
+    # lexsort semantics if some caller ever violates it.
+    m = n + idx.size
+    dest_pairs = np.arange(n)
+    dest_pairs[1:] += np.cumsum(need)
+    dest_gaps = dest_pairs[idx] + 1
+    all_qpos = np.empty(m, dtype=blk.q_pos.dtype)
+    all_rpos = np.empty(m, dtype=blk.r_pos.dtype)
+    all_qlen = np.empty(m, dtype=blk.q_len.dtype)
+    all_rlen = np.empty(m, dtype=blk.r_len.dtype)
+    all_seed = np.empty(m, dtype=bool)
+    for dst, a, g in ((all_qpos, blk.q_pos, g_qpos),
+                      (all_rpos, blk.r_pos, g_rpos),
+                      (all_qlen, blk.q_len, g_qlen),
+                      (all_rlen, blk.r_len, g_rlen)):
+        dst[dest_pairs] = a
+        dst[dest_gaps] = g
+    all_seed[dest_pairs] = blk.b_seed
+    all_seed[dest_gaps] = False
+    ok = bool(np.all((all_qpos[1:] > all_qpos[:-1])
+                     | ((all_qpos[1:] == all_qpos[:-1])
+                        & (all_rpos[1:] >= all_rpos[:-1]))))
+    if not ok:
+        aq = np.concatenate([blk.q_pos, g_qpos])
+        ar = np.concatenate([blk.r_pos, g_rpos])
+        order = np.lexsort((ar, aq))
+        all_qpos, all_rpos = aq[order], ar[order]
+        all_qlen = np.concatenate([blk.q_len, g_qlen])[order]
+        all_rlen = np.concatenate([blk.r_len, g_rlen])[order]
+        all_seed = np.concatenate(
+            [blk.b_seed, np.zeros(idx.size, dtype=bool)])[order]
+    blk.q_pos = all_qpos
+    blk.r_pos = all_rpos
+    blk.q_len = all_qlen
+    blk.r_len = all_rlen
+    blk.b_seed = all_seed
     blk.aln1 = [None] * blk.n
     blk.aln2 = [None] * blk.n

@@ -23,6 +23,19 @@ def kmer_vector(seq_ascii: np.ndarray) -> np.ndarray:
     ln = int(seq_ascii.shape[0])
     codes = NT4_TABLE[seq_ascii].astype(np.int64)
     is_n = seq_ascii == ord("N")
+    # Fast path: all codes <= 3 (no 'N', no ambiguity). The rolling-id
+    # recurrence wid = ((wid & 0xFF) << 2) + c has disjoint bit fields
+    # then (no addition carries), so it equals a pure 5-code sliding
+    # window — one vectorized expression instead of the per-char loop
+    # (ambiguity code 4 spans 3 bits and can carry, so it keeps the
+    # exact sequential loop below).
+    if not (codes >= 4).any():
+        if ln < KMER_SIZE:
+            return np.zeros(0, dtype=np.int64)
+        ids = ((codes[:-4] << 8) | (codes[1:-3] << 6) | (codes[2:-2] << 4)
+               | (codes[3:-1] << 2) | codes[4:])
+        ids.sort()
+        return ids
     out = []
     tail = 0
     # find first window of KMER_SIZE non-'N' chars
