@@ -837,7 +837,11 @@ def find_seeds_all(dfm: DeviceFMIndex,
     # more than the rare overflow->poison->host-re-scan round it avoids
     hard_max = seg_len // (5 if sensitive else (min_seed_length + 1)) + 2
     if max_out_cap is None:
-        max_out_cap = 512 if sensitive else 128
+        # emit cost is proportional to the plane width (every loop-carried
+        # byte rewrites every iteration); measured fill at 250 Mb:
+        # mean 56, p99.9 = 80, max 88 of 128 (tools/exp_dphist.py) — 96
+        # keeps headroom and overflow still poisons into a host re-scan
+        max_out_cap = 512 if sensitive else 96
     max_out = min(hard_max, max(2, max_out_cap))
 
     # --- round 1: speculative lanes at every segment start ---

@@ -143,10 +143,11 @@ def plan_alignments(blocks: List[Block], qry_chars: np.ndarray,
     for bi, j in dp_jobs:
         blk = blocks[bi]
         r_pos, q_pos = int(blk.r_pos[j]), int(blk.q_pos[j])
-        ref_frags.append(
-            ref_codes[r_pos:r_pos + int(blk.r_len[j])].astype(np.int32))
-        qry_frags.append(
-            qry_codes[q_pos:q_pos + int(blk.q_len[j])].astype(np.int32))
+        # zero-copy uint8 views: the DP batch assembler packs them into
+        # int8 wire arrays, so the old per-fragment astype(int32) was a
+        # pure copy (~100k fragments at 250 Mb)
+        ref_frags.append(ref_codes[r_pos:r_pos + int(blk.r_len[j])])
+        qry_frags.append(qry_codes[q_pos:q_pos + int(blk.q_len[j])])
     return dp_jobs, ref_frags, qry_frags
 
 
