@@ -28,20 +28,22 @@ import sys
 import time
 
 BENCH_DIR = "/tmp/gsalign_bench"
-# C reference wall-clock fallbacks, -t 4, same generated pairs, this host
-# (BASELINE.md). tools/measure_baseline.py writes per-tag
-# ref_baseline.json markers that OVERRIDE these when present.
+# C reference wall-clock fallbacks: -t 4, same generated pairs, best-of-N
+# on an IDLE 4-core host (BASELINE.md "round 3" table — the round-2
+# constants were measured on a loaded host and overstated the reference
+# by 2-3x). tools/measure_baseline.py writes per-tag ref_baseline.json
+# markers that OVERRIDE these when present.
 CONFIGS = [
-    ("ecoli_4.6mb", 4_600_000, 0.21),
-    ("yeast_12mb", 12_000_000, 1.09),
+    ("ecoli_4.6mb", 4_600_000, 0.150),
+    ("yeast_12mb", 12_000_000, 0.494),
 ]
 if not os.environ.get("GSALIGN_BENCH_SMALL"):
     # the 100 Mb+ configs are the headline scales (the regime the TPU
     # build is designed for); a cold datagen + index build is minutes,
     # acceptable for an unattended run (rows stream as they complete, so
     # earlier configs survive even if a later one is cut short)
-    CONFIGS.append(("celegans_100mb", 100_000_000, 15.8))
-    CONFIGS.append(("human_250mb", 250_000_000, None))
+    CONFIGS.append(("celegans_100mb", 100_000_000, 5.958))
+    CONFIGS.append(("human_250mb", 250_000_000, 26.64))
 _only = os.environ.get("GSALIGN_BENCH_ONLY")
 if _only:                       # one-config runs for A/B measurements
     CONFIGS = [c for c in CONFIGS if c[0] == _only]
