@@ -356,14 +356,28 @@ def hw_ok() -> bool:
     return _HW_OK
 
 
+_BAD_L: set = set()     # bucket sizes whose Pallas build failed this process
+
+
 def make_hybrid_dp_fn():
     """dp_fn for align_fragments: Pallas for buckets with L <= MAX_L,
-    lax.scan otherwise."""
+    lax.scan otherwise.
+
+    hw_ok()'s probe only compiles L=128; a larger bucket's build can still
+    fail independently (the packed direction cube is L^2*TB bytes of VMEM,
+    4x bigger at L=256), so each bucket's first Pallas call is guarded and
+    a failure pins that L to the lax.scan path for the process instead of
+    crashing mid-align. Mosaic/XLA build errors raise synchronously at
+    trace/compile time, which is what this catches; the scan fallback is
+    op-code-identical so results don't depend on the route."""
     from gsalign_tpu.ops.dp import dp_align_batch
 
     def fn(q, t, ql, tl, L):
-        if L <= MAX_L and L % 16 == 0:
-            return dp_align_batch_pallas(q, t, ql, tl, L)
+        if L <= MAX_L and L % 16 == 0 and L not in _BAD_L:
+            try:
+                return dp_align_batch_pallas(q, t, ql, tl, L)
+            except Exception:
+                _BAD_L.add(L)
         return dp_align_batch(q, t, ql, tl, L)
     return fn
 
