@@ -30,8 +30,6 @@ def save_index(fm: FMIndex, prefix: str) -> None:
         "seed": g.seed,
         "holes": [[h.offset, h.length, h.amb] for h in g.holes],
     }
-    with open(prefix + ".json", "w") as fh:
-        json.dump(manifest, fh)
     # The c12 jump table is [4^12, 2] int64 = 268 MB regardless of genome
     # size; its starts column is cumsum(counts) plus <= 13 short-suffix +1
     # steps (fmindex._build_c12), so persist only the counts (uint32 unless
@@ -48,8 +46,13 @@ def save_index(fm: FMIndex, prefix: str) -> None:
         extra["c12_val"] = counts[nz].astype(cdt)
     else:
         extra["c12_sz"] = counts.astype(cdt)
+    # Atomic publish: the .npz write takes minutes at 250 Mb+ scale and a
+    # concurrent reader gates loadability on the manifest, so write both
+    # files to tmp names and rename — npz first, manifest LAST. A reader
+    # then sees either the complete new artifact or none of it.
+    tmp_npz = prefix + ".tmp.npz"     # ends in .npz so savez won't rename
     np.savez(
-        prefix + ".npz",
+        tmp_npz,
         l2=fm.l2, bwt_packed=fm.bwt_packed, occ_cp=fm.occ_cp,
         sa_samples=fm.sa_samples, codes_fwd=g.codes_fwd,
         lengths=g.lengths, offsets=g.offsets,
@@ -57,6 +60,11 @@ def save_index(fm: FMIndex, prefix: str) -> None:
         t3_exc_pos=fm.t3_exc_pos, t3_exc_chr=fm.t3_exc_chr, c8=fm.c8,
         c12_steps=c12_steps, **extra,
     )
+    os.replace(tmp_npz, prefix + ".npz")
+    tmp_json = prefix + ".json.tmp"
+    with open(tmp_json, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp_json, prefix + ".json")
 
 
 def index_exists(prefix: str) -> bool:
