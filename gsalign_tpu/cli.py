@@ -151,9 +151,10 @@ def main(argv=None) -> int:
             output_prefix = nxt()
         elif a == "-gp":
             updates["gnuplot_path"] = nxt()
-        elif a in ("-d", "-debug", "-obr"):
-            if a == "-obr":
-                nxt()
+        elif a in ("-d", "-debug"):
+            updates["debug"] = True
+        elif a == "-obr":
+            updates["obr_pos"] = int(nxt())
         else:
             print(f"Warning! Unknown parameter: {a}", file=sys.stderr)
         i += 1

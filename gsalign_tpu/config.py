@@ -27,6 +27,14 @@ class AlignConfig:
     emit_vcf: bool = True               # -no_vcf sets False
     show_plot: bool = False             # -dp
     gnuplot_path: str = ""              # -gp (src/main.cpp:285; "" = whereis)
+    # -d / -obr debug affordances. The reference PARSES these
+    # (src/main.cpp:288-289) but every use site is commented out
+    # (src/GSAlign.cpp:456, src/tools.cpp:79-118 printers); here they are
+    # live: -d dumps chained block boundaries + FragPairs in the
+    # ShowAlnBlockBoundary/ShowFragPair format, -obr restricts the dump to
+    # blocks whose reference span covers the given position.
+    debug: bool = False                 # -d / -debug
+    obr_pos: int = -1                   # -obr
 
     # --- pipeline constants (reference #defines) ---
     max_seed_freq: int = 100            # src/bwt_search.cpp:3

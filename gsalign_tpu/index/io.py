@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 import numpy as np
 
@@ -21,8 +22,13 @@ def save_index(fm: FMIndex, prefix: str) -> None:
     g = fm.genome
     if g is None:
         raise ValueError("FMIndex has no genome attached")
+    # A per-build nonce is stored in BOTH files and cross-checked at load:
+    # overwriting an existing index is two renames, so a reader (or crash)
+    # between them could otherwise pair the new .npz with the old manifest.
+    nonce = uuid.uuid4().hex
     manifest = {
         "format_version": FORMAT_VERSION,
+        "build_nonce": nonce,
         "seq_len": fm.seq_len,
         "primary": fm.primary,
         "sa_intv": fm.sa_intv,
@@ -48,11 +54,14 @@ def save_index(fm: FMIndex, prefix: str) -> None:
         extra["c12_sz"] = counts.astype(cdt)
     # Atomic publish: the .npz write takes minutes at 250 Mb+ scale and a
     # concurrent reader gates loadability on the manifest, so write both
-    # files to tmp names and rename — npz first, manifest LAST. A reader
-    # then sees either the complete new artifact or none of it.
-    tmp_npz = prefix + ".tmp.npz"     # ends in .npz so savez won't rename
+    # files to UNIQUE tmp names (two concurrent writers on one prefix must
+    # not clobber each other's tmp) and rename — npz first, manifest LAST.
+    # A reader then sees either the complete new artifact or none of it;
+    # the nonce cross-check at load catches the overwrite race above.
+    tmp_npz = f"{prefix}.tmp.{nonce}.npz"   # ends in .npz so savez won't rename
     np.savez(
         tmp_npz,
+        build_nonce=np.frombuffer(nonce.encode(), dtype=np.uint8),
         l2=fm.l2, bwt_packed=fm.bwt_packed, occ_cp=fm.occ_cp,
         sa_samples=fm.sa_samples, codes_fwd=g.codes_fwd,
         lengths=g.lengths, offsets=g.offsets,
@@ -61,7 +70,7 @@ def save_index(fm: FMIndex, prefix: str) -> None:
         c12_steps=c12_steps, **extra,
     )
     os.replace(tmp_npz, prefix + ".npz")
-    tmp_json = prefix + ".json.tmp"
+    tmp_json = f"{prefix}.json.tmp.{nonce}"
     with open(tmp_json, "w") as fh:
         json.dump(manifest, fh)
     os.replace(tmp_json, prefix + ".json")
@@ -91,6 +100,13 @@ def load_index(prefix: str) -> FMIndex:
     if manifest["format_version"] != FORMAT_VERSION:
         raise ValueError(f"unsupported index format {manifest['format_version']}")
     data = np.load(prefix + ".npz")
+    npz_nonce = (bytes(data["build_nonce"]).decode()
+                 if "build_nonce" in data else None)
+    if npz_nonce != manifest.get("build_nonce"):
+        raise ValueError(
+            f"index artifact mismatch at {prefix!r}: the .npz and .json "
+            f"manifest come from different builds (interrupted overwrite?); "
+            f"rebuild the index")
     genome = Genome(
         names=list(manifest["names"]),
         lengths=data["lengths"],

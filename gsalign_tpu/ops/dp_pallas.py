@@ -357,6 +357,7 @@ def hw_ok() -> bool:
 
 
 _BAD_L: set = set()     # bucket sizes whose Pallas build failed this process
+_OK_L: set = set()      # bucket sizes that completed one blocking call
 
 
 def make_hybrid_dp_fn():
@@ -367,16 +368,27 @@ def make_hybrid_dp_fn():
     fail independently (the packed direction cube is L^2*TB bytes of VMEM,
     4x bigger at L=256), so each bucket's first Pallas call is guarded and
     a failure pins that L to the lax.scan path for the process instead of
-    crashing mid-align. Mosaic/XLA build errors raise synchronously at
-    trace/compile time, which is what this catches; the scan fallback is
-    op-code-identical so results don't depend on the route."""
+    crashing mid-align. The FIRST call at each L is block_until_ready'd
+    inside the guard so asynchronous device-side failures (not just
+    trace/compile errors) also pin the bucket rather than crashing later
+    at FragmentAligner.finish()'s fetch; subsequent calls stay async. The
+    scan fallback is op-code-identical so results don't depend on the
+    route."""
     from gsalign_tpu.ops.dp import dp_align_batch
 
     def fn(q, t, ql, tl, L):
         if L <= MAX_L and L % 16 == 0 and L not in _BAD_L:
             try:
-                return dp_align_batch_pallas(q, t, ql, tl, L)
-            except Exception:
+                out = dp_align_batch_pallas(q, t, ql, tl, L)
+                if L not in _OK_L:
+                    out.block_until_ready()
+                    _OK_L.add(L)
+                return out
+            except Exception as e:
+                import sys
+                sys.stderr.write(
+                    f"[dp_pallas] L={L} Pallas build/run failed, bucket "
+                    f"pinned to the lax.scan path: {e}\n")
                 _BAD_L.add(L)
         return dp_align_batch(q, t, ql, tl, L)
     return fn

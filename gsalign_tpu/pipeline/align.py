@@ -14,6 +14,8 @@ import sys
 import time
 from typing import List, Optional
 
+import numpy as np
+
 
 from gsalign_tpu.config import AlignConfig
 from gsalign_tpu.genome.coords import ChrLocIndex, gen_coordinate_info
@@ -59,6 +61,35 @@ class ChromosomeResult:
 def log(msg: str, verbose: bool = True):
     if verbose:
         print(msg, file=sys.stderr, flush=True)
+
+
+def debug_dump_blocks(blocks, chr_index: ChrLocIndex, obr_pos: int = -1):
+    """-d / -obr dump: chained block boundaries and FragPairs.
+
+    Equivalent of the reference's ShowAlnBlockBoundary / ShowFragPair
+    printers (src/tools.cpp:79-118 — parsed but dead in v1.0.22; live
+    here). With obr_pos >= 0, only blocks whose reference span covers that
+    position are dumped (the observation hook sketched at
+    src/GSAlign.cpp:456)."""
+    for b in blocks:
+        if b.n == 0:
+            continue
+        q1, q2 = int(b.q_pos[0]), int(b.q_pos[-1] + b.q_len[-1] - 1)
+        r1, r2 = int(b.r_pos[0]), int(b.r_pos[-1] + b.r_len[-1] - 1)
+        if obr_pos >= 0 and not (r1 <= obr_pos <= r2):
+            continue
+        chr_idx = int(chr_index.chr_of(np.asarray([r1]))[0])
+        name = chr_index.genome.names[chr_idx]
+        print(f"AlnBlockBoundary Q[{q1}-{q2}] R[{r1}-{r2}] chr={name} "
+              f"score = {b.score} size = {q2 - q1 + 1}")
+        if r2 - r1 < 100 or obr_pos >= 0:
+            print(f"FragPairVec (N={b.n})")
+            for i in range(b.n):
+                pd = int(b.r_pos[i]) - int(b.q_pos[i])
+                print(f"q[{int(b.q_pos[i])}-{int(b.q_pos[i] + b.q_len[i] - 1)}] "
+                      f"r[{int(b.r_pos[i])}-{int(b.r_pos[i] + b.r_len[i] - 1)}] "
+                      f"L:{int(b.q_len[i])} D:{pd} ")
+            print("End\n")
 
 
 _QCODES_MEMO: dict = {}   # one-slot chars->codes memo (see _codes_for)
@@ -186,6 +217,9 @@ def compare_genomes(fm: FMIndex,
             for b in blocks:
                 if b.score > 0:
                     blk_ops.fill_block_gaps(b)
+
+        if cfg.debug or cfg.obr_pos >= 0:
+            debug_dump_blocks(blocks, chr_index, cfg.obr_pos)
 
         # S9a: classify pairs, submit this chromosome's DP fragments (full
         # buckets start on device now, behind the next chromosome's chain)

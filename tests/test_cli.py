@@ -64,3 +64,22 @@ def test_cli_usage_and_bad_args(data_dir):
     assert "Usage:" in r.stderr
     r = run_cli(["-slen", "5", "-i", "refidx", "-q", "qry.fa"], cwd=data_dir)
     assert r.returncode == 1
+
+
+def test_cli_debug_dump(data_dir):
+    # -d dumps chained block boundaries (live equivalent of the
+    # reference's parsed-but-dead -d/-obr, src/main.cpp:288-289)
+    r = run_cli(["-i", "refidx", "-q", "qry.fa", "-o", "outd", "-d"],
+                cwd=data_dir)
+    assert r.returncode == 0, r.stderr
+    assert "AlnBlockBoundary Q[" in r.stdout
+    # -obr filters the dump to blocks covering a reference position; a
+    # position past the genome matches nothing
+    r = run_cli(["-i", "refidx", "-q", "qry.fa", "-o", "outd",
+                 "-obr", "999999999"], cwd=data_dir)
+    assert r.returncode == 0, r.stderr
+    assert "AlnBlockBoundary" not in r.stdout
+    r = run_cli(["-i", "refidx", "-q", "qry.fa", "-o", "outd",
+                 "-obr", "30000"], cwd=data_dir)
+    assert r.returncode == 0, r.stderr
+    assert "AlnBlockBoundary" in r.stdout
