@@ -210,6 +210,27 @@ def dp_align_batch(q_codes: jnp.ndarray,   # int32 [B, L] ref fragments (pad 4)
     return _traceback_batch(d_all, ql, tl, L)
 
 
+@jax.jit
+def _pack2bit(ops: jnp.ndarray) -> jnp.ndarray:
+    """Pack op codes (2 bits each: M/D/I/PAD) 4-per-byte on device before
+    the host fetch — D2H bulk bandwidth over the tunnel is ~40 MB/s, so at
+    100 Mb+ scale the op-code fetch is bandwidth-bound and wire bytes
+    matter 4x more than this one fused kernel. Width must be a multiple
+    of 4 (all bucket widths are)."""
+    o = ops.astype(jnp.uint8)
+    B, W = o.shape
+    o4 = o.reshape(B, W // 4, 4)
+    return (o4[:, :, 0] | (o4[:, :, 1] << jnp.uint8(2))
+            | (o4[:, :, 2] << jnp.uint8(4)) | (o4[:, :, 3] << jnp.uint8(6)))
+
+
+def _unpack2bit_host(packed: np.ndarray, width: int) -> np.ndarray:
+    """Host-side inverse of _pack2bit: [B, W/4] uint8 -> [B, W] uint8."""
+    x = (packed[:, :, None] >> np.asarray([0, 2, 4, 6], np.uint8)) \
+        & np.uint8(3)
+    return x.reshape(packed.shape[0], width)
+
+
 class FragmentAligner:
     """Incremental fragment DP: submit per-chromosome fragment batches as
     the host plans them, collect all results with ONE device->host fetch.
@@ -285,7 +306,10 @@ class FragmentAligner:
         else:
             args = (jnp.asarray(q), jnp.asarray(t), jnp.asarray(ql),
                     jnp.asarray(tl))
-        self.pending.append((list(part), self.dp_fn(*args, Lb)))
+        dev_ops = self.dp_fn(*args, Lb)
+        # ship 2-bit-packed over the wire (fetch is D2H-bandwidth-bound)
+        self.pending.append((list(part), _pack2bit(dev_ops),
+                             int(dev_ops.shape[1])))
 
     def finish(self) -> list:
         """Dispatch leftovers, fetch everything in ONE device->host
@@ -318,7 +342,7 @@ class FragmentAligner:
         results: list = [None] * len(self.frags)
         if not self.pending:
             return results
-        flat = (jnp.concatenate([d.reshape(-1) for _, d in self.pending])
+        flat = (jnp.concatenate([d.reshape(-1) for _, d, _ in self.pending])
                 if len(self.pending) > 1
                 else self.pending[0][1].reshape(-1))
         try:
@@ -329,10 +353,12 @@ class FragmentAligner:
             pass
         flat_h = np.asarray(flat)
         off = 0
-        for part, dev_ops in self.pending:
-            bp, w = dev_ops.shape
-            ops = flat_h[off:off + bp * w].reshape(bp, w)
-            off += bp * w
+        for part, dev_ops, w in self.pending:
+            bp = dev_ops.shape[0]
+            wp = w // 4
+            ops = _unpack2bit_host(
+                flat_h[off:off + bp * wp].reshape(bp, wp), w)
+            off += bp * wp
             for bi, i in enumerate(part):
                 o = ops[bi]
                 o = o[o != OP_PAD][::-1]   # forward order

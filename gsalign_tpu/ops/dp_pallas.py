@@ -63,6 +63,7 @@ MATCH = 1
 MISMATCH = -1
 
 MAX_L = 256       # packed d scratch (L, L, TB) int8 must fit VMEM
+MAX_L_BIG = 2048  # HBM-staged kernel bound (u/v/x/y + staging must fit VMEM)
 
 
 def _tile_b(L: int) -> int:
@@ -345,6 +346,393 @@ def make_dp_fn(interpret: bool = False):
     return fn
 
 
+# ---------------------------------------------------------------------------
+# HBM-staged kernels for 256 < L <= MAX_L_BIG (buckets 512/1024/2048): the
+# packed direction cube (L, L, TB) int8 no longer fits VMEM (8 MB at L=256,
+# 4x per doubling), so it lives in HBM between TWO pallas_calls and the
+# PIPELINE EMITTER does all the staging — manual make_async_copy is not an
+# option on this toolchain (any sliced-ref or scratch-sourced DMA crashes
+# the Mosaic compile helper; probed round 4):
+#  - the FORWARD kernel runs with grid=(NC,) over CP-plane chunks; its
+#    output block (CP, L, TB) is auto-double-buffered to HBM while the
+#    next chunk's wavefronts compute; u/v/x/y persist in VMEM scratch
+#    across the sequential grid steps.
+#  - the TRACEBACK kernel walks grid steps of 2*CP anti-diagonal steps;
+#    the cube arrives as TWO input views of the same array (chunk
+#    NC-1-k and its successor NC-2-k — plane index decreases one per two
+#    steps, so each grid step touches exactly those two chunks, at rows
+#    that are STATIC per unrolled sub-step), auto-prefetched ahead;
+#    (ii, jj, state) persist in VMEM scratch.
+# Everything else — recurrence, band-phase windows, packed nibbles, the
+# global anti-diagonal traceback — matches _dp_kernel above (and ops/dp.py,
+# the ksw2 emulation of src/ksw2_alignment.cpp:25-249).
+# ---------------------------------------------------------------------------
+
+
+def _chunk_pairs(L: int) -> int:
+    """Pair-planes per pipeline chunk: the cube blocks are CP*L*TB bytes of
+    VMEM (x2-buffered by the pipeline, x2 input views in the traceback),
+    so halve CP at L=2048 to stay inside the ~16 MB budget."""
+    return 4 if L > 1024 else 8
+
+
+def _wavefront_big(q_ref, t_ref, u_ref, v_ref, x_ref, y_ref,
+                   ql, tl, r, ro: int, rn: int, L: int, TB: int,
+                   boundary=None):
+    """Anti-diagonal r over DP rows [ro, ro+rn): identical math to
+    _dp_kernel.wavefront but against the [2L, TB] query layout (L/2
+    wildcard pads each side; buf[j] = Q[3L/2-1-j], so the window start is
+    (3L/2-1+ro) - r). Returns the 4-bit direction plane [rn, TB].
+
+    boundary: optional ([1,TB], [1,TB]) pre-update (x, v) values of row
+    ro-1 — used when a full-column wavefront is SPLIT into two windows
+    (L=2048: an rn=2048 vector body overflows this toolchain's compile
+    helper, probed round 4); None keeps the upper-phase zero rows (row
+    ro is then never in-band, see _dp_kernel.wavefront)."""
+    i32 = jnp.int32
+    t_idx = jax.lax.broadcasted_iota(i32, (rn, TB), 0) + i32(ro)
+    t_codes = t_ref[ro:ro + rn, :]
+    top_val = jnp.where(r > i32(0), i32(GAP_OPEN), i32(0))
+    if ro == 0:
+        u = u_ref[0:rn, :]
+        v = v_ref[0:rn, :]
+        x = x_ref[0:rn, :]
+        y = y_ref[0:rn, :]
+        x1 = jnp.zeros((1, TB), i32)
+        v1 = jnp.broadcast_to(top_val, (1, TB)).astype(i32)
+        xt1 = jnp.concatenate([x1, x[:-1, :]], axis=0)
+        vt1 = jnp.concatenate([v1, v[:-1, :]], axis=0)
+    else:
+        u = u_ref[ro:ro + rn, :]
+        v = v_ref[ro:ro + rn, :]
+        x = x_ref[ro:ro + rn, :]
+        y = y_ref[ro:ro + rn, :]
+        if boundary is None:
+            xb = jnp.zeros((1, TB), i32)
+            vb = xb
+        else:
+            xb, vb = boundary
+        xt1 = jnp.concatenate([xb, x[:-1, :]], axis=0)
+        vt1 = jnp.concatenate([vb, v[:-1, :]], axis=0)
+    st0 = jnp.maximum(i32(0), r - ql + i32(1))[None, :]
+    en0 = jnp.minimum(r, tl - i32(1))[None, :]
+
+    in_top = r <= tl[None, :] - i32(1)
+    at_r = t_idx == r
+    u = jnp.where(in_top & at_r, top_val, u)
+    y = jnp.where(in_top & at_r, i32(0), y)
+
+    start = i32(3 * L // 2 - 1 + ro) - r
+    qrr = q_ref[pl.ds(start, rn), :]
+    is_wild = (t_codes >= WILDCARD) | (qrr >= WILDCARD)
+    s = jnp.where(is_wild, i32(0),
+                  jnp.where(t_codes == qrr, i32(MATCH), i32(MISMATCH)))
+
+    z = s + i32(QE2)
+    a = xt1 + vt1
+    b_ = y + u
+    d = jnp.where(a > z, i32(1), i32(0))
+    z = jnp.maximum(z, a)
+    d = jnp.where(b_ > z, i32(2), d)
+    z = jnp.maximum(z, b_)
+    z = jnp.minimum(z, i32(MAX_SC))
+    u_new = z - vt1
+    v_new = z - u
+    z2 = z - i32(GAP_OPEN)
+    a2 = a - z2
+    b2 = b_ - z2
+    x_new = jnp.maximum(a2, i32(0))
+    y_new = jnp.maximum(b2, i32(0))
+    d = d | jnp.where(a2 > 0, i32(4), i32(0))
+    d = d | jnp.where(b2 > 0, i32(8), i32(0))
+
+    in_band = (t_idx >= st0) & (t_idx <= en0)
+    u_ref[ro:ro + rn, :] = jnp.where(in_band, u_new, u)
+    v_ref[ro:ro + rn, :] = jnp.where(in_band, v_new, v)
+    x_ref[ro:ro + rn, :] = jnp.where(in_band, x_new, x)
+    y_ref[ro:ro + rn, :] = jnp.where(in_band, y_new, y)
+    return jnp.where(in_band, d, i32(0))
+
+
+def _dp_fwd_kernel(q_ref, t_ref, ql_ref, tl_ref, cube_ref,
+                   u_ref, v_ref, x_ref, y_ref, de_ref,
+                   *, L: int, TB: int, CP: int):
+    """Forward pass, grid step = one CP-plane chunk of the direction cube.
+
+    cube_ref is the (CP, L, TB) output block for chunk c = program_id(0):
+    the pipeline emitter double-buffers it to HBM behind the next chunk's
+    compute. u/v/x/y persist across the sequential grid steps. Rows of a
+    plane outside its band-phase window are left unwritten (garbage in
+    HBM); the traceback masks every read to the in-band cell."""
+    i32 = jnp.int32
+    c = pl.program_id(0)
+    NC = L // CP
+
+    @pl.when(c == 0)
+    def _init():
+        zeros = jnp.zeros((L, TB), i32)
+        u_ref[:] = zeros
+        v_ref[:] = zeros
+        x_ref[:] = zeros
+        y_ref[:] = zeros
+
+    ql = ql_ref[0, :]
+    tl = tl_ref[0, :]
+    half = L // 2
+
+    def wf(r, ro, rn, boundary=None):
+        return _wavefront_big(q_ref, t_ref, u_ref, v_ref, x_ref, y_ref,
+                              ql, tl, r, ro, rn, L, TB, boundary)
+
+    # pairs loop: static unroll at L=512 (faster: 5.1 vs 4.4 Gcells/s),
+    # fori above (several unrolled rn>=1024 bodies overflow this
+    # toolchain's compile helper — probed round 4; the cube store's
+    # leading-dim dynamic index is fine)
+    def run_phase(ro, rn):
+        if L <= 512:
+            for kp in range(CP):
+                p = c * i32(CP) + i32(kp)
+                d0 = wf(i32(2) * p, ro, rn)
+                d1 = wf(i32(2) * p + i32(1), ro, rn)
+                cube_ref[kp:kp + 1, ro:ro + rn] = \
+                    (d0 | (d1 << i32(4))).astype(jnp.int8)[None]
+            return
+
+        def body(kp, _):
+            p = c * i32(CP) + kp
+            d0 = wf(i32(2) * p, ro, rn)
+            d1 = wf(i32(2) * p + i32(1), ro, rn)
+            cube_ref[pl.ds(kp, 1), ro:ro + rn] = \
+                (d0 | (d1 << i32(4))).astype(jnp.int8)[None]
+            return i32(0)
+        jax.lax.fori_loop(i32(0), i32(CP), body, i32(0))
+
+    def run_full_split():
+        # L=2048: an rn=L vector body overflows the compile helper, AND
+        # 3+ mixed-window wavefront bodies in one straight-line sequence
+        # crash it too (probed round 4) — so the full column runs as two
+        # half-windows with ONE wavefront per fori iteration (exactly one
+        # lower + one upper body inline). The sublane shift across the
+        # split reads the PRE-update boundary row (an aligned 8-row load
+        # before the lower half mutates it); the even wavefront's
+        # directions park in de_ref until the odd one packs the nibbles.
+        def body(w, _):
+            r = c * i32(2 * CP) + w
+            xb = x_ref[half - 8:half, :][7:8]
+            vb = v_ref[half - 8:half, :][7:8]
+            dl = wf(r, 0, half)
+            du = wf(r, half, half, boundary=(xb, vb))
+
+            @pl.when((w & i32(1)) == i32(0))
+            def _park():
+                de_ref[0:half, :] = dl.astype(jnp.int8)
+                de_ref[half:L, :] = du.astype(jnp.int8)
+
+            @pl.when((w & i32(1)) == i32(1))
+            def _pack():
+                kp = w >> 1
+                el = de_ref[0:half, :].astype(i32)
+                eu = de_ref[half:L, :].astype(i32)
+                cube_ref[pl.ds(kp, 1), 0:half] = \
+                    (el | (dl << i32(4))).astype(jnp.int8)[None]
+                cube_ref[pl.ds(kp, 1), half:L] = \
+                    (eu | (du << i32(4))).astype(jnp.int8)[None]
+            return i32(0)
+        jax.lax.fori_loop(i32(0), i32(2 * CP), body, i32(0))
+
+    # chunk c holds pairs [c*CP, (c+1)*CP); CP | L/4, so chunks never
+    # straddle a band-phase boundary (same grouping as _dp_kernel)
+    NC4 = NC // 4
+
+    @pl.when(c < i32(NC4))
+    def _lower():
+        run_phase(0, half)
+
+    @pl.when((c >= i32(NC4)) & (c < i32(3 * NC4)))
+    def _full():
+        if L > 1024:
+            run_full_split()
+        else:
+            run_phase(0, L)
+
+    @pl.when(c >= i32(3 * NC4))
+    def _upper():
+        run_phase(half, half)
+
+
+def _dp_tb_kernel(ca_ref, cb_ref, ql_ref, tl_ref, ops_ref,
+                  ii_ref, jj_ref, st_ref, *, L: int, TB: int, CP: int):
+    """Traceback, grid step k = 2*CP anti-diagonal steps (descending r).
+
+    ca_ref / cb_ref are two input views of the SAME cube: chunk NC-1-k and
+    chunk NC-2-k (clamped) — sub-step s reads plane row CP-1-(s>>1) of
+    ca for even s / odd s below the chunk top, and cb's top plane on the
+    last odd sub-step; all rows STATIC per unrolled s. (ii, jj, state)
+    carry across grid steps in scratch; op rows buffer in registers and
+    flush as aligned (8, TB) tiles."""
+    i32 = jnp.int32
+    k = pl.program_id(0)
+    NC = L // CP
+    half = L // 2
+
+    ql = ql_ref[0, :]
+    tl = tl_ref[0, :]
+
+    @pl.when(k == 0)
+    def _init():
+        ii_ref[:] = (tl - i32(1))[None, :]
+        jj_ref[:] = (ql - i32(1))[None, :]
+        st_ref[:] = jnp.zeros((1, TB), i32)
+
+    iota8 = jax.lax.broadcasted_iota(i32, (8, TB), 0)
+
+    def run_phase(ro, rn):
+        t_idx = jax.lax.broadcasted_iota(i32, (rn, TB), 0) + i32(ro)
+        ii = ii_ref[0:1, :]
+        jj = jj_ref[0:1, :]
+        st = st_ref[0:1, :]
+        buf = jnp.full((8, TB), i32(OP_PAD), i32)
+
+        for s in range(2 * CP):                   # static unroll
+            g = k * i32(2 * CP) + i32(s)
+            r = i32(2 * L - 2) - g
+            m = s >> 1
+            if s % 2 == 0:
+                row = ca_ref[CP - 1 - m, ro:ro + rn]
+                shift = i32(0)                    # r even: low nibble
+            elif m < CP - 1:
+                row = ca_ref[CP - 2 - m, ro:ro + rn]
+                shift = i32(4)                    # r odd: high nibble
+            else:
+                row = cb_ref[CP - 1, ro:ro + rn]
+                shift = i32(4)
+
+            both = (ii >= 0) & (jj >= 0)
+            act = ((ii + jj) == r) & ((ii >= 0) | (jj >= 0))
+            pick = t_idx == jnp.clip(ii, i32(ro), i32(ro + rn - 1))
+            tmp = jnp.sum(jnp.where(pick, row.astype(i32), i32(0)),
+                          axis=0, keepdims=True, dtype=i32)   # [1, TB]
+            tmp = (tmp >> shift) & i32(0xF)
+            tmp = jnp.where(act & both, tmp, i32(0))
+
+            s1 = jnp.where(st == 0, tmp & i32(3),
+                           jnp.where(((tmp >> (st + i32(1))) & i32(1)) == 0,
+                                     i32(0), st))
+            s2 = jnp.where(s1 == 0, tmp & i32(3), s1)
+            is_m = s2 == 0
+            is_d = (s2 == 1) | (s2 == 3)
+            op_main = jnp.where(is_m, i32(OP_M),
+                                jnp.where(is_d, i32(OP_D), i32(OP_I)))
+            op_tail = jnp.where(ii >= 0, i32(OP_D),
+                                jnp.where(jj >= 0, i32(OP_I), i32(OP_PAD)))
+            op = jnp.where(act, jnp.where(both, op_main, op_tail),
+                           i32(OP_PAD))
+            di = jnp.where(both, jnp.where(is_m | is_d, i32(1), i32(0)),
+                           jnp.where(ii >= 0, i32(1), i32(0)))
+            dj = jnp.where(both, jnp.where(is_m | ~is_d, i32(1), i32(0)),
+                           jnp.where((ii < 0) & (jj >= 0), i32(1), i32(0)))
+            acti = act.astype(i32)
+            buf = jnp.where(iota8 == i32(s & 7), op, buf)
+            ii = ii - di * acti
+            jj = jj - dj * acti
+            st = jnp.where(act & both, s2, st)
+            if s & 7 == 7:
+                ops_ref[(s // 8) * 8:(s // 8) * 8 + 8, :] = buf
+                buf = jnp.full((8, TB), i32(OP_PAD), i32)
+        ii_ref[:] = ii
+        jj_ref[:] = jj
+        st_ref[:] = st
+
+    # grid steps wholly inside the top band run the [half, L) window, the
+    # tail ones [0, half); boundary-straddling steps use the full column
+    K1 = (L // 2 - 1) // (2 * CP)
+    K2 = (3 * L // 2 - 2) // (2 * CP) + 1
+
+    @pl.when(k < i32(K1))
+    def _upper():
+        run_phase(half, half)
+
+    @pl.when((k >= i32(K1)) & (k < i32(K2)))
+    def _full():
+        run_phase(0, L)
+
+    @pl.when(k >= i32(K2))
+    def _lower():
+        run_phase(0, half)
+
+
+@partial(jax.jit, static_argnames=("L", "interpret"))
+def dp_align_batch_pallas_big(q_codes, t_codes, ql, tl, L: int,
+                              interpret: bool = False):
+    """HBM-staged variant of dp_align_batch_pallas for 256 < L <= MAX_L_BIG.
+    Same contract: reverse-order op codes with interleaved OP_PAD, uint8
+    [B, 2L]. Requires L a multiple of 32 (chunk/phase grids)."""
+    assert MAX_L < L <= MAX_L_BIG, f"big-kernel bucket range violated: {L}"
+    assert L % 32 == 0, f"big-kernel bucket must be 32-aligned, got {L}"
+    TB = _tile_b(L)
+    CP = _chunk_pairs(L)
+    NC = L // CP
+    q_codes = q_codes.astype(jnp.int32)
+    t_codes = t_codes.astype(jnp.int32)
+    B0 = q_codes.shape[0]
+    B = -(-B0 // TB) * TB
+    if B != B0:
+        padq = jnp.full((B - B0, L), WILDCARD, q_codes.dtype)
+        q_codes = jnp.concatenate([q_codes, padq])
+        t_codes = jnp.concatenate([t_codes, padq])
+        one = jnp.ones(B - B0, ql.dtype)
+        ql = jnp.concatenate([ql, one])
+        tl = jnp.concatenate([tl, one])
+
+    qrev = q_codes[:, ::-1]
+    pad = jnp.full((B, L // 2), WILDCARD, jnp.int32)
+    qrev_pad = jnp.concatenate([pad, qrev, pad], axis=1)   # [B, 2L]
+    qT = qrev_pad.T.astype(jnp.int32)
+    tT = t_codes.T.astype(jnp.int32)
+    ql2 = ql.astype(jnp.int32)[None, :]
+    tl2 = tl.astype(jnp.int32)[None, :]
+
+    fwd = pl.pallas_call(
+        partial(_dp_fwd_kernel, L=L, TB=TB, CP=CP),
+        grid=(NC,),
+        in_specs=[
+            pl.BlockSpec((2 * L, TB), lambda c: (c * 0, c * 0)),
+            pl.BlockSpec((L, TB), lambda c: (c * 0, c * 0)),
+            pl.BlockSpec((1, TB), lambda c: (c * 0, c * 0)),
+            pl.BlockSpec((1, TB), lambda c: (c * 0, c * 0)),
+        ],
+        out_specs=pl.BlockSpec((CP, L, TB), lambda c: (c, c * 0, c * 0)),
+        out_shape=jax.ShapeDtypeStruct((L, L, TB), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((L, TB), jnp.int32) for _ in range(4)]
+        + [pltpu.VMEM((L, TB), jnp.int8)],
+        interpret=interpret,
+    )
+    tb = pl.pallas_call(
+        partial(_dp_tb_kernel, L=L, TB=TB, CP=CP),
+        grid=(NC,),
+        in_specs=[
+            pl.BlockSpec((CP, L, TB),
+                         lambda k: (NC - 1 - k, k * 0, k * 0)),
+            pl.BlockSpec((CP, L, TB),
+                         lambda k: (jnp.maximum(NC - 2 - k, k * 0),
+                                    k * 0, k * 0)),
+            pl.BlockSpec((1, TB), lambda k: (k * 0, k * 0)),
+            pl.BlockSpec((1, TB), lambda k: (k * 0, k * 0)),
+        ],
+        out_specs=pl.BlockSpec((2 * CP, TB), lambda k: (k, k * 0)),
+        out_shape=jax.ShapeDtypeStruct((2 * L, TB), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, TB), jnp.int32) for _ in range(3)],
+        interpret=interpret,
+    )
+    outs = []
+    for ti in range(B // TB):                     # unrolled under jit
+        sl = slice(ti * TB, (ti + 1) * TB)
+        cube = fwd(qT[:, sl], tT[:, sl], ql2[:, sl], tl2[:, sl])
+        outs.append(tb(cube, cube, ql2[:, sl], tl2[:, sl]))
+    ops = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    return ops.T.astype(jnp.uint8)[:B0]          # [B0, 2L]
+
+
 _HW_OK = None
 
 
@@ -377,9 +765,13 @@ def make_hybrid_dp_fn():
     from gsalign_tpu.ops.dp import dp_align_batch
 
     def fn(q, t, ql, tl, L):
-        if L <= MAX_L and L % 16 == 0 and L not in _BAD_L:
+        small = L <= MAX_L and L % 16 == 0
+        big = MAX_L < L <= MAX_L_BIG and L % 32 == 0
+        if (small or big) and L not in _BAD_L:
             try:
-                out = dp_align_batch_pallas(q, t, ql, tl, L)
+                kernel = dp_align_batch_pallas if small \
+                    else dp_align_batch_pallas_big
+                out = kernel(q, t, ql, tl, L)
                 if L not in _OK_L:
                     out.block_until_ready()
                     _OK_L.add(L)

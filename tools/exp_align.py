@@ -82,10 +82,28 @@ def main():
             all_qf += qf
             planned.append((qry_chars, blocks, jobs, lo, len(all_rf)))
         t0 = time.time()
-        ops_all = dp_ops.align_fragments(all_rf, all_qf,
-                                         bucket_sizes=cfg.dp_buckets,
-                                         batch_cells=cfg.dp_batch_cells)
-        T["dp"] = time.time() - t0
+        import jax
+        from gsalign_tpu.pipeline.generate import select_dp_fn
+        dp_fn = select_dp_fn(cfg, None) if os.environ.get(
+            "GSALIGN_EXP_PALLAS") else None
+        aligner = dp_ops.FragmentAligner(
+            bucket_sizes=cfg.dp_buckets, batch_cells=cfg.dp_batch_cells,
+            **({"dp_fn": dp_fn} if dp_fn else {}))
+        aligner.submit(all_rf, all_qf)
+        T["dp_submit"] = time.time() - t0
+        t0 = time.time()
+        for Lb, part in sorted(aligner.queue.items()):
+            mb = max(1, aligner.batch_cells // (Lb * Lb))
+            for s in range(0, len(part), mb):
+                aligner._dispatch(Lb, part[s:s + mb])
+        aligner.queue = {}
+        T["dp_rest"] = time.time() - t0
+        t0 = time.time()
+        jax.block_until_ready([p[1] for p in aligner.pending])
+        T["dp_device"] = time.time() - t0
+        t0 = time.time()
+        ops_all = aligner.finish()
+        T["dp_fetch"] = time.time() - t0
         t0 = time.time()
         for qry_chars, blocks, jobs, lo, hi in planned:
             finish_alignments(blocks, jobs, ops_all[lo:hi], qry_chars,
