@@ -106,6 +106,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
             ctypes.c_int]
+        _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.seg_mismatch_count.restype = None
+        lib.seg_mismatch_count.argtypes = [
+            _u8p, _u8p, _i64p, _i64p, _i64p, ctypes.c_int64, _i64p,
+            ctypes.c_int]
+        lib.seg_mismatch_fill.restype = None
+        lib.seg_mismatch_fill.argtypes = [
+            _u8p, _u8p, _i64p, _i64p, _i64p, _i64p, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int]
         lib.maf_build_rows.restype = None
         lib.maf_build_rows.argtypes = [
             np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
@@ -254,6 +265,38 @@ def seg_gather_u8(src: np.ndarray, starts: np.ndarray, lens: np.ndarray,
                       lens, offs, starts.shape[0], out,
                       threads or default_threads())
     return out
+
+
+def seg_mismatch(qry_codes: np.ndarray, ref_codes: np.ndarray,
+                 q_starts: np.ndarray, r_starts: np.ndarray,
+                 lens: np.ndarray, want_cols: bool = False,
+                 threads: Optional[int] = None):
+    """Per-segment mismatch counts (qc != 4 and qc != rc over NT4 codes,
+    reference src/ProcessCandidateAlignment.cpp:49-61 /
+    src/SeqVariant.cpp:56), threaded, no index materialization.
+
+    Returns counts int64[k], or (counts, cols int32[total]) with
+    want_cols (cols = per-mismatch column offsets, segment-major order).
+    None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    q_starts = np.ascontiguousarray(q_starts, dtype=np.int64)
+    r_starts = np.ascontiguousarray(r_starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    k = q_starts.shape[0]
+    counts = np.empty(k, dtype=np.int64)
+    qc = np.ascontiguousarray(qry_codes, dtype=np.uint8)
+    rc = np.ascontiguousarray(ref_codes, dtype=np.uint8)
+    nt = threads or default_threads()
+    lib.seg_mismatch_count(qc, rc, q_starts, r_starts, lens, k, counts, nt)
+    if not want_cols:
+        return counts
+    offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    cols = np.empty(int(offs[-1]), dtype=np.int32)
+    lib.seg_mismatch_fill(qc, rc, q_starts, r_starts, lens, offs, k, cols,
+                          nt)
+    return counts, cols
 
 
 def maf_build_rows(qry_chars: np.ndarray, ref_chars: np.ndarray,

@@ -237,59 +237,101 @@ def compare_genomes(fm: FMIndex,
         ops_all = aligner.finish()
 
     # Pass 2 (host): expand alignments, filter, emit — chromosome order.
-    # MAF disk writes go through an ordered background sink so they
-    # overlap the variant walk (file writes release the GIL); assembly
-    # and the clip mutations stay synchronous, so byte output and the
-    # variant inputs are unchanged.
-    from gsalign_tpu.pipeline.output import AsyncSink
+    # The heavy per-chromosome work (alignment expansion, MAF row
+    # assembly incl. the clip mutations, variant identification into a
+    # PRIVATE collector) is independent across chromosomes, so with
+    # -t > 1 it runs on a thread pool (the reference stripes every stage
+    # over pthreads, src/GSAlign.cpp:492-526); the main thread then
+    # consumes results IN CHROMOSOME ORDER — file chunks are submitted to
+    # the ordered sink and private collectors merge via merge_from (the
+    # distributed path's machinery), so the output bytes and variant
+    # emission order are identical to the serial path. MAF disk writes
+    # still go through the background sink thread.
+    from gsalign_tpu.pipeline.output import AsyncSink, assemble_maf_chunks
     sink = AsyncSink() if (output_prefix and cfg.output_format == 1) \
         else None
-    first_out = True
-    for qname, qry_chars, qry_codes, blocks, jobs, lo, hi in planned:
+
+    def pass2_work(item):
+        qname, qry_chars, qry_codes, blocks, jobs, lo, hi = item
         with timer.stage("align"):
             finish_alignments(blocks, jobs, ops_all[lo:hi], qry_chars,
                               ref_chars)
-
         # identity filter + stats (src/GSAlign.cpp:528-541)
         n = 0
         aln_len_sum = 0
         aln_score_sum = 0
+        dup_n = 0
         for b in blocks:
             if b.aln_len == 0 or \
                     int(100 * (b.score / b.aln_len)) < cfg.min_seq_idy:
                 b.score = 0
             else:
                 if b.b_dup:
-                    stats.dup_aln_num += 1
+                    dup_n += 1
                 n += 1
                 aln_len_sum += b.aln_len
                 aln_score_sum += b.score
-                stats.local_alignment_num += 1
-                stats.total_alignment_length += b.aln_len
-                stats.total_alignment_matches += b.score
                 b.coor = gen_coordinate_info(chr_index, int(b.r_pos[0]))
         blocks = blk_ops.remove_bad_blocks(blocks)
+        chunks = private = None
+        if n:
+            # assembly clips blocks in place, so it runs before variant
+            # identification, same as the reference ordering
+            if output_prefix and cfg.output_format == 1:
+                with timer.stage("output"):
+                    chunks = assemble_maf_chunks(
+                        blocks, qname, qry_chars, chr_index,
+                        cfg.allow_duplication)
+            if cfg.emit_vcf and cfg.output_format != 2:
+                with timer.stage("variants"):
+                    private = VariantCollector()
+                    identify_variants(blocks, qry_chars, ref_chars,
+                                      chr_index, private,
+                                      ref_codes=ref_codes_full,
+                                      qry_codes=qry_codes)
+        return (qname, qry_chars, qry_codes, blocks, n, aln_len_sum,
+                aln_score_sum, dup_n, chunks, private)
+
+    n_workers = min(len(planned), max(1, cfg.thread_num))
+    if n_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=n_workers)
+        outcomes = list(pool.map(pass2_work, planned))
+        pool.shutdown()
+    else:
+        outcomes = map(pass2_work, planned)
+
+    first_out = True
+    for (qname, qry_chars, qry_codes, blocks, n, aln_len_sum,
+         aln_score_sum, dup_n, chunks, private) in outcomes:
         if n == 0:
             continue
+        stats.dup_aln_num += dup_n
+        stats.local_alignment_num += n
+        stats.total_alignment_length += aln_len_sum
+        stats.total_alignment_matches += aln_score_sum
         log(f"\t\tProduce {n} local alignments (length = {aln_len_sum}), "
             f"ANI={100.0 * aln_score_sum / aln_len_sum:.2f}%", verbose)
 
-        # output (NB: the writers clip blocks in place, so they run before
-        # variant identification, same as the reference ordering)
         if output_prefix:
             with timer.stage("output"):
                 if cfg.output_format == 1:
                     write_maf(maf_path, blocks, qname, qry_chars, chr_index,
-                              first_out, cfg.allow_duplication, sink=sink)
+                              first_out, cfg.allow_duplication, sink=sink,
+                              chunks=chunks)
                 elif cfg.output_format == 2:
                     write_aln(aln_path, blocks, qname, qry_chars, chr_index,
                               first_out, cfg.allow_duplication)
             first_out = False
         if cfg.emit_vcf:
             with timer.stage("variants"):
-                identify_variants(blocks, qry_chars, ref_chars, chr_index,
-                                  collector, ref_codes=ref_codes_full,
-                                  qry_codes=qry_codes)
+                if private is not None:
+                    collector.merge_from(private)
+                else:
+                    identify_variants(blocks, qry_chars, ref_chars,
+                                      chr_index, collector,
+                                      ref_codes=ref_codes_full,
+                                      qry_codes=qry_codes)
         if cfg.show_plot and output_prefix:
             # under sharded runs the dotplot keeps the USER-facing prefix
             # (the reference writes {prefix}.gp / {prefix}-{qname}.ps,

@@ -113,19 +113,28 @@ def plan_alignments(blocks: List[Block], qry_chars: np.ndarray,
         is_gap_r = (~seeds) & (q_len == 0)
         is_gap_q = (~seeds) & (r_len == 0) & (q_len > 0)
         is_eq = (~seeds) & (q_len == r_len) & (q_len > 0)
-        # vectorized mismatch counts for equal-length candidates
+        # vectorized mismatch counts for equal-length candidates (native
+        # threaded scan when available: no segment-index materialization,
+        # no full gathers — the numpy chain dominated plan time)
         eq_idx = np.nonzero(is_eq)[0]
         mism = np.zeros(n, dtype=np.int64)
         if eq_idx.size:
+            from gsalign_tpu import native_lib
             lens = q_len[eq_idx]
-            qi = _segment_indices(blk.q_pos[eq_idx], lens)
-            ri = _segment_indices(blk.r_pos[eq_idx], lens)
-            qf = qry_codes[qi]
-            bad = (qf != 4) & (qf != ref_codes[ri])
-            bounds = np.cumsum(lens)[:-1]
-            mism[eq_idx] = np.add.reduceat(
-                bad, np.concatenate([[0], bounds])) if lens.size else 0
-            # reduceat quirk: empty segments impossible here (q_len > 0)
+            counts = native_lib.seg_mismatch(
+                qry_codes, ref_codes, blk.q_pos[eq_idx], blk.r_pos[eq_idx],
+                lens)
+            if counts is not None:
+                mism[eq_idx] = counts
+            else:
+                qi = _segment_indices(blk.q_pos[eq_idx], lens)
+                ri = _segment_indices(blk.r_pos[eq_idx], lens)
+                qf = qry_codes[qi]
+                bad = (qf != 4) & (qf != ref_codes[ri])
+                bounds = np.cumsum(lens)[:-1]
+                mism[eq_idx] = np.add.reduceat(
+                    bad, np.concatenate([[0], bounds])) if lens.size else 0
+                # reduceat quirk: empty segments impossible (q_len > 0)
         direct = is_eq & (mism <= 5)
         needs_dp = (~seeds) & (q_len > 0) & (r_len > 0) & ~direct
 

@@ -237,20 +237,17 @@ def _pad_names(qry_name: str, ref_name: str):
     return qry_name, ref_name
 
 
-def write_maf(path: str, blocks: List[Block], qry_name: str,
-              qry_chars: np.ndarray, chr_index: ChrLocIndex,
-              first_chromosome: bool, allow_duplication: bool,
-              sink: AsyncSink = None) -> None:
-    """OutputMAF (src/tools.cpp:149-220). Row assembly (and the clip
-    mutations the variant walk depends on) happens here, synchronously;
-    with a sink the assembled chunks are handed to its writer thread so
-    the disk time overlaps the rest of the chromosome's host work."""
+def assemble_maf_chunks(blocks: List[Block], qry_name: str,
+                        qry_chars: np.ndarray, chr_index: ChrLocIndex,
+                        allow_duplication: bool) -> list:
+    """Row assembly for one chromosome's MAF records (and the clip
+    mutations the variant walk depends on): returns the byte chunks
+    WITHOUT the ##maf header. Thread-safe across chromosomes (mutates
+    only its own blocks), so the pipeline can assemble chromosomes in
+    parallel and write in order."""
     g = chr_index.genome
     qry_total = int(qry_chars.shape[0])
-    mode = "wb" if first_chromosome else "ab"
     chunks = []
-    if first_chromosome:
-        chunks.append(b"##maf version=1\n")
     for blk in blocks:
         if not allow_duplication and blk.b_dup:
             continue
@@ -280,6 +277,24 @@ def write_maf(path: str, blocks: List[Block], qry_name: str,
                       f"{blk.aln_len - gaps2} + {qry_total} ".encode())
         chunks.append(memoryview(np.ascontiguousarray(a2)))
         chunks.append(b"\n\n")
+    return chunks
+
+
+def write_maf(path: str, blocks: List[Block], qry_name: str,
+              qry_chars: np.ndarray, chr_index: ChrLocIndex,
+              first_chromosome: bool, allow_duplication: bool,
+              sink: AsyncSink = None, chunks: list = None) -> None:
+    """OutputMAF (src/tools.cpp:149-220). Row assembly (and the clip
+    mutations the variant walk depends on) happens here — or arrives
+    pre-assembled via `chunks` from a parallel pass — synchronously;
+    with a sink the chunks are handed to its writer thread so the disk
+    time overlaps the rest of the chromosome's host work."""
+    if chunks is None:
+        chunks = assemble_maf_chunks(blocks, qry_name, qry_chars,
+                                     chr_index, allow_duplication)
+    mode = "wb" if first_chromosome else "ab"
+    if first_chromosome:
+        chunks = [b"##maf version=1\n"] + chunks
     if sink is not None:
         sink.submit(path, mode, chunks)
         return

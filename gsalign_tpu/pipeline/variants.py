@@ -154,22 +154,37 @@ def identify_variants(blocks: List[Block], qry_chars: np.ndarray,
         special = np.nonzero(nonseed & ~direct)[0]
 
         # --- columnar SNVs over all gap-free pairs of the block ---
+        # native threaded two-pass scan when available (count, then fill
+        # mismatch columns): no segment-index planes, no full gathers
         didx = np.nonzero(direct)[0]
         snv_pair = snv_col = snv_flat_q = snv_flat_r = None
         if didx.size:
+            from gsalign_tpu import native_lib
             lens = blk.q_len[didx]
-            qi = _segment_indices(blk.q_pos[didx], lens)
-            ri = _segment_indices(blk.r_pos[didx], lens)
-            qf = qry_codes[qi]
-            bad = (qf != ref_codes[ri]) & (qf != 4)
-            flat = np.nonzero(bad)[0]
-            if flat.size:
-                seg_start = np.repeat(np.cumsum(lens) - lens, lens)
-                snv_pair = didx[np.searchsorted(np.cumsum(lens),
-                                                flat, side="right")]
-                snv_col = flat - seg_start[flat]
-                snv_flat_q = qi[flat]
-                snv_flat_r = ri[flat]
+            res = native_lib.seg_mismatch(
+                qry_codes, ref_codes, blk.q_pos[didx], blk.r_pos[didx],
+                lens, want_cols=True)
+            if res is not None:
+                counts, cols = res
+                if cols.size:
+                    snv_pair = didx[np.repeat(
+                        np.arange(len(didx)), counts)]
+                    snv_col = cols.astype(np.int64)
+                    snv_flat_q = blk.q_pos[snv_pair] + snv_col
+                    snv_flat_r = blk.r_pos[snv_pair] + snv_col
+            else:
+                qi = _segment_indices(blk.q_pos[didx], lens)
+                ri = _segment_indices(blk.r_pos[didx], lens)
+                qf = qry_codes[qi]
+                bad = (qf != ref_codes[ri]) & (qf != 4)
+                flat = np.nonzero(bad)[0]
+                if flat.size:
+                    seg_start = np.repeat(np.cumsum(lens) - lens, lens)
+                    snv_pair = didx[np.searchsorted(np.cumsum(lens),
+                                                    flat, side="right")]
+                    snv_col = flat - seg_start[flat]
+                    snv_flat_q = qi[flat]
+                    snv_flat_r = ri[flat]
 
         # --- per-pair events for indel / DP pairs (rare) ---
         events = []    # (pair_idx, col, type, r_raw, ref_frag, alt_frag)

@@ -20,15 +20,22 @@ from typing import Dict, Optional
 
 class StageTimer:
     def __init__(self):
+        import threading
         self.totals: Dict[str, float] = {}
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def stage(self, name: str):
+        """Accumulate wall time for a stage. Thread-safe: the parallel
+        per-chromosome pass times its stages from worker threads, so
+        overlapping stages may sum to more than the wall clock."""
         t0 = time.time()
         try:
             yield
         finally:
-            self.totals[name] = self.totals.get(name, 0.0) + time.time() - t0
+            dt = time.time() - t0
+            with self._lock:
+                self.totals[name] = self.totals.get(name, 0.0) + dt
 
     def report(self) -> str:
         total = sum(self.totals.values())

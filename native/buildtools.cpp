@@ -212,6 +212,52 @@ void seg_gather_u8(const uint8_t* src, const int64_t* starts,
     });
 }
 
+// Segmented mismatch scan over two NT4-code arrays: segment i compares
+// qry[q_starts[i]+j] vs ref[r_starts[i]+j] for j < lens[i]; a mismatch is
+// (qc != 4 && qc != rc) — exactly CheckFragPairMismatch (reference
+// src/ProcessCandidateAlignment.cpp:49-61) and the SNV predicate
+// (src/SeqVariant.cpp:56). Replaces the numpy chain (segment-index
+// materialization + two full gathers + compare) that dominated the
+// plan/variants host stages: no temporaries, memory-bandwidth-bound,
+// threaded over segments.
+void seg_mismatch_count(const uint8_t* qry, const uint8_t* ref,
+                        const int64_t* q_starts, const int64_t* r_starts,
+                        const int64_t* lens, int64_t k,
+                        int64_t* counts, int nt) {
+    nt = clamp_threads(nt, k, 1 << 8);
+    parallel_ranges(k, nt, [&](int64_t s, int64_t e, int) {
+        for (int64_t i = s; i < e; ++i) {
+            const uint8_t* q = qry + q_starts[i];
+            const uint8_t* r = ref + r_starts[i];
+            int64_t n = lens[i];
+            int64_t c = 0;
+            for (int64_t j = 0; j < n; ++j)        // auto-vectorizes
+                c += (q[j] != 4) & (q[j] != r[j]);
+            counts[i] = c;
+        }
+    });
+}
+
+// Second pass: writes each segment's mismatch columns (int32, relative to
+// the segment start) at cols + offs[i], where offs is the exclusive
+// prefix sum of the counts from seg_mismatch_count.
+void seg_mismatch_fill(const uint8_t* qry, const uint8_t* ref,
+                       const int64_t* q_starts, const int64_t* r_starts,
+                       const int64_t* lens, const int64_t* offs, int64_t k,
+                       int32_t* cols, int nt) {
+    nt = clamp_threads(nt, k, 1 << 8);
+    parallel_ranges(k, nt, [&](int64_t s, int64_t e, int) {
+        for (int64_t i = s; i < e; ++i) {
+            const uint8_t* q = qry + q_starts[i];
+            const uint8_t* r = ref + r_starts[i];
+            int64_t n = lens[i];
+            int32_t* out = cols + offs[i];
+            for (int64_t j = 0; j < n; ++j)
+                if ((q[j] != 4) & (q[j] != r[j])) *out++ = int32_t(j);
+        }
+    });
+}
+
 namespace {
 
 // ReverseMap (reference src/tools.cpp:3-31): complement for ACGTUN
