@@ -56,7 +56,7 @@ def sa_off(order: int) -> int:
                       "sa_samples", "c64", "t3_exc_pos", "t3_exc_chr",
                       "comb_pairs", "init_corr", "text_rows", "sa_rows"],
          meta_fields=["seq_len", "primary", "sa_intv", "wide", "direct_ok",
-                      "sa_in_comb", "init_order"])
+                      "sa_in_comb", "init_order", "row_shard"])
 @dataclasses.dataclass(frozen=True)
 class DeviceFMIndex:
     # Rank tables, the device analogue of the reference's interleaved .bwt
@@ -126,6 +126,14 @@ class DeviceFMIndex:
     direct_ok: bool
     sa_in_comb: bool
     init_order: int           # INIT jump k-mer order (10 or 12)
+    # Beyond-HBM index sharding (docs/SCALING_3GB.md item 1): when set to
+    # (axis_name, (field, ...)) INSIDE a shard_map, the named table fields
+    # (subset of {"t3", "sa_samples"}) hold only this device's ROW SHARD;
+    # their fetch sites become local-masked-gather + psum over the axis —
+    # each device answers the rows it owns. The reference reaches 3 Gb
+    # through 64-bit bwtint_t on host RAM (src/BWT_Index/bwt.h:36-40);
+    # this is the device analogue for tables exceeding one chip's HBM.
+    row_shard: tuple = None
 
     @property
     def rdtype(self):
@@ -391,6 +399,63 @@ def extend_forward(dfm: DeviceFMIndex, ik0, ik1, ik2, nt):
     return x0_all[rows, i], x1_all[rows, i], s_all[rows, i]
 
 
+DFM_DATA_FIELDS = ("union", "t3", "t3_major", "l2", "sa_samples", "c64",
+                   "t3_exc_pos", "t3_exc_chr", "comb_pairs", "init_corr",
+                   "text_rows", "sa_rows")
+DFM_META_FIELDS = ("seq_len", "primary", "sa_intv", "wide", "direct_ok",
+                   "sa_in_comb", "init_order")
+
+
+def split_dfm(dfm: DeviceFMIndex):
+    """(arrays, meta) tuples in canonical field order — used by shard_map
+    wrappers that need per-array PartitionSpecs and hashable meta."""
+    return (tuple(getattr(dfm, f) for f in DFM_DATA_FIELDS),
+            tuple(getattr(dfm, f) for f in DFM_META_FIELDS))
+
+
+def join_dfm(arrays, meta, row_shard=None) -> DeviceFMIndex:
+    kw = dict(zip(DFM_DATA_FIELDS, arrays))
+    kw.update(zip(DFM_META_FIELDS, meta))
+    return DeviceFMIndex(row_shard=row_shard, **kw)
+
+
+def _sharded(dfm: DeviceFMIndex, field: str) -> bool:
+    return dfm.row_shard is not None and field in dfm.row_shard[1]
+
+
+def _t3_row_fetch(dfm: DeviceFMIndex, idx: jnp.ndarray) -> jnp.ndarray:
+    """dfm.t3[idx] ([B, row_width]), row-shard-aware: under a sharded t3
+    each device gathers the rows it owns (masked local gather) and a psum
+    over the shard axis assembles the full rows on every device."""
+    if not _sharded(dfm, "t3"):
+        return dfm.t3[idx]
+    axis = dfm.row_shard[0]
+    nloc = dfm.t3.shape[0]                       # LOCAL rows in shard_map
+    off = (jax.lax.axis_index(axis) * nloc).astype(idx.dtype)
+    loc = idx - off
+    ok = (loc >= 0) & (loc < nloc)
+    row = jnp.where(ok[:, None],
+                    dfm.t3[jnp.clip(loc, 0, nloc - 1).astype(jnp.int32)],
+                    jnp.uint32(0))
+    return jax.lax.psum(row, axis)
+
+
+def _plane_fetch(dfm: DeviceFMIndex, field: str,
+                 idx: jnp.ndarray) -> jnp.ndarray:
+    """arr[idx] for a 1-D table plane, row-shard-aware (same scheme)."""
+    arr = getattr(dfm, field)
+    if not _sharded(dfm, field):
+        return arr[idx]
+    axis = dfm.row_shard[0]
+    nloc = arr.shape[0]
+    off = (jax.lax.axis_index(axis) * nloc).astype(idx.dtype)
+    loc = idx - off
+    ok = (loc >= 0) & (loc < nloc)
+    v = jnp.where(ok, arr[jnp.clip(loc, 0, nloc - 1).astype(jnp.int32)],
+                  jnp.zeros((), arr.dtype))
+    return jax.lax.psum(v, axis)
+
+
 def occ_t3(dfm: DeviceFMIndex, k: jnp.ndarray,
            is_triple: jnp.ndarray, cls: jnp.ndarray) -> jnp.ndarray:
     """Per-lane single-class STRICT rank over the order-3 table, one gather.
@@ -404,7 +469,7 @@ def occ_t3(dfm: DeviceFMIndex, k: jnp.ndarray,
     rdt = dfm.rdtype
     cls = cls.astype(jnp.int32)
     if dfm.wide:
-        row = dfm.t3[k >> 7]                                 # [B, 100] uint32
+        row = _t3_row_fetch(dfm, k >> 7)                     # [B, 100] uint32
         iota = jnp.arange(64, dtype=jnp.int32)[None, :]
         want = jnp.where(is_triple[:, None], iota == cls[:, None],
                          (iota & 3) == cls[:, None])
@@ -420,7 +485,7 @@ def occ_t3(dfm: DeviceFMIndex, k: jnp.ndarray,
         # fused narrow rows: ONE 256 B gather per query (u16 minor cps) +
         # one 256 B major-table row (the major table is tiny, so its
         # whole-table re-read per gather call costs nothing)
-        row = dfm.t3[k >> 7]                                 # [B, 64] uint32
+        row = _t3_row_fetch(dfm, k >> 7)                     # [B, 64] uint32
         mrow = dfm.t3_major[k >> 15]                         # [B, 64] int32
         iota = jnp.arange(64, dtype=jnp.int32)[None, :]
         want = jnp.where(is_triple[:, None], iota == cls[:, None],
@@ -499,7 +564,8 @@ def lf_t3(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     LF(k) = L2[c] + 1 + strict_rank1(c, k) for c = the char preceding row
     k's suffix; the SA==0 row maps to the sentinel row 0."""
     B = k.shape[0]
-    row_syms = dfm.t3[k >> 7, 68:] if dfm.wide else dfm.t3[k >> 7, 32:]
+    full = _t3_row_fetch(dfm, k >> 7)
+    row_syms = full[:, 68:] if dfm.wide else full[:, 32:]
     inb = (k & 127).astype(jnp.int32)
     w = jnp.take_along_axis(row_syms, (inb >> 2)[:, None], axis=1)[:, 0]
     sym = (w >> (((3 - (inb & 3)) * 8).astype(jnp.uint32))) & jnp.uint32(0xFF)
@@ -523,7 +589,7 @@ def resolve_sa(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
             if dfm.sa_in_comb:
                 return dfm.comb_pairs[sa_off(dfm.init_order) + k]
             return dfm.sa_rows[k].astype(dfm.rdtype)
-        return dfm.sa_samples[k]
+        return _plane_fetch(dfm, "sa_samples", k)
     k = k.astype(dfm.rdtype)
     mask = jnp.asarray(dfm.sa_intv - 1, dfm.rdtype)
     log2_intv = int(np.log2(dfm.sa_intv))
@@ -540,5 +606,5 @@ def resolve_sa(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
                 steps + active.astype(dfm.rdtype))
 
     k, steps = jax.lax.while_loop(cond, body, (k, jnp.zeros_like(k)))
-    base = dfm.sa_samples[k >> log2_intv]
+    base = _plane_fetch(dfm, "sa_samples", k >> log2_intv)
     return (steps + base) % jnp.asarray(dfm.seq_len + 1, dfm.rdtype)

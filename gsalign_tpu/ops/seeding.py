@@ -561,6 +561,54 @@ def _shard_scan(mesh, min_seed_length, max_seed_freq, sensitive, max_out,
         check_vma=False))
 
 
+@lru_cache(maxsize=None)
+def _rowshard_scan(mesh, meta, shard_fields, min_seed_length, max_seed_freq,
+                   sensitive, max_out, init12, sa_mode):
+    """Beyond-HBM scan (docs/SCALING_3GB.md item 1): the big tables are
+    ROW-sharded over "frag" (mesh.shard_index_rows) and LANES are
+    REPLICATED — every device runs the full while_loop and each occ_t3 /
+    SA fetch is a local masked gather + psum (rank._t3_row_fetch). Trades
+    lane speedup for table capacity; outputs are replicated and identical
+    on every device."""
+    from jax.sharding import PartitionSpec as P
+    from gsalign_tpu.parallel.mesh import FRAG_AXIS as F
+    from gsalign_tpu.ops.rank import DFM_DATA_FIELDS, join_dfm
+
+    def fn(arrays, q_rows, st, em, ex, hd):
+        dfm = join_dfm(arrays, meta, row_shard=(F, shard_fields))
+        return _seed_scan_impl(dfm, q_rows, st, em, ex, hd,
+                               min_seed_length=min_seed_length,
+                               max_seed_freq=max_seed_freq,
+                               sensitive=sensitive, max_out=max_out,
+                               init12=init12, sa_mode=sa_mode)
+
+    arr_specs = tuple(P(F) if f in shard_fields else P()
+                      for f in DFM_DATA_FIELDS)
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(arr_specs, P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False))
+
+
+@lru_cache(maxsize=None)
+def _rowshard_resolve(mesh, meta, shard_fields):
+    """resolve_sa over a row-sharded index (ranks replicated)."""
+    from jax.sharding import PartitionSpec as P
+    from gsalign_tpu.parallel.mesh import FRAG_AXIS as F
+    from gsalign_tpu.ops.rank import DFM_DATA_FIELDS, join_dfm
+
+    def fn(arrays, k):
+        dfm = join_dfm(arrays, meta, row_shard=(F, shard_fields))
+        return rank_ops.resolve_sa(dfm, k)
+
+    arr_specs = tuple(P(F) if f in shard_fields else P()
+                      for f in DFM_DATA_FIELDS)
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=(arr_specs, P()), out_specs=P(),
+        check_vma=False))
+
+
 def _next_pow2(n: int, floor: int = 64) -> int:
     m = floor
     while m < n:
@@ -592,7 +640,10 @@ def _run_scan(dfm, q_rows, starts, emit_stops, ext_stops, hard_stops,
     actually-used slot count). Lane sets beyond MAX_LANES_PER_CALL run as
     independent slabs (lanes don't interact)."""
     B = len(starts)
-    n_shards = 1 if mesh is None else int(mesh.devices.size)
+    # row-sharded (beyond-HBM) runs replicate lanes: outputs are whole
+    n_shards = 1 if (mesh is None
+                     or getattr(dfm, "_row_shard_fields", None) is not None) \
+        else int(mesh.devices.size)
     # dispatch every slab before fetching any result: JAX queues the
     # launches asynchronously (and _launch_scan issues the host copies
     # asynchronously too), so the whole multi-slab run pays ONE fetch
@@ -653,6 +704,23 @@ def _launch_scan(dfm, q_rows, starts, emit_stops, ext_stops,
 
     st, em, ex, hd = (pad(starts), pad(emit_stops), pad(ext_stops),
                       pad(hard_stops))
+    shard_fields = getattr(dfm, "_row_shard_fields", None)
+    if mesh is not None and shard_fields is not None:
+        # beyond-HBM row-sharded index: lanes replicated, tables sharded
+        arrays, meta_t = rank_ops.split_dfm(dfm)
+        scan_fn = _rowshard_scan(mesh, meta_t, shard_fields,
+                                 min_seed_length, max_seed_freq,
+                                 sensitive, max_out, init12,
+                                 _pick_sa_mode(dfm, None))
+        meta, mk, fr, mk_c, fr_c = scan_fn(
+            arrays, q_rows, jnp.asarray(st), jnp.asarray(em),
+            jnp.asarray(ex), jnp.asarray(hd))
+        for a in (meta, mk_c, fr_c):
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        return meta, mk, fr, mk_c, fr_c
     if mesh is not None:
         from gsalign_tpu.parallel import mesh as mesh_lib
         dfm = mesh_lib.shard_index(dfm, mesh)
@@ -995,8 +1063,16 @@ def _expand_hits(dfm, qs, ls, k0, fr):
         want = _next_pow2(total)
         ranks_pad = np.full(want, 1, dtype=rdt)
         ranks_pad[:total] = ranks
-        rc_pos = np.asarray(rank_ops.resolve_sa(
-            dfm, jnp.asarray(ranks_pad)))[:total].astype(np.int64)
+        shard_fields = getattr(dfm, "_row_shard_fields", None)
+        if shard_fields is not None:
+            arrays, meta_t = rank_ops.split_dfm(dfm)
+            fn = _rowshard_resolve(dfm._row_shard_mesh, meta_t,
+                                   shard_fields)
+            rc_pos = np.asarray(
+                fn(arrays, jnp.asarray(ranks_pad)))[:total].astype(np.int64)
+        else:
+            rc_pos = np.asarray(rank_ops.resolve_sa(
+                dfm, jnp.asarray(ranks_pad)))[:total].astype(np.int64)
     lens = ls[rep].astype(np.int64)
     # ranks index RC(P) occurrences; the fwd+RC text is its own reverse
     # complement, so P occurs at the mirrored positions.

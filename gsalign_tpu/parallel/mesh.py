@@ -43,6 +43,57 @@ def shard_index(dfm: DeviceFMIndex, mesh: Mesh) -> DeviceFMIndex:
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), dfm)
 
 
+# fields row-sharded by shard_index_rows (docs/SCALING_3GB.md item 1):
+# the big per-row tables — order-3 fused rows and the sampled SA. The
+# small planes (comb_pairs INIT tables, l2, c64, text windows) replicate.
+ROW_SHARD_FIELDS = ("t3", "sa_samples")
+
+
+def shard_index_rows(dfm: DeviceFMIndex, mesh: Mesh) -> DeviceFMIndex:
+    """Beyond-HBM mode: shard the big table ROWS over the "frag" axis
+    (each device holds 1/n of t3 + sampled SA) and replicate the rest.
+
+    The seed scan and resolve_sa then run with lanes REPLICATED and every
+    table fetch as local-masked-gather + psum (rank._t3_row_fetch): this
+    trades lane-parallel speedup for CAPACITY, which is the point — the
+    6.2 G-row (3 Gb pair) wide tables are ~19.4 GB t3 + ~6.2 GB SA,
+    over one v5e's 16 GB HBM but comfortable across >= 4 chips
+    (~4.9 + 1.6 GB per chip at 4, plus the ~1.6 GB replicated planes).
+    Use seeding.find_seeds_all(..., mesh=mesh, index_sharded=True).
+    """
+    import dataclasses
+    n_dev = mesh.devices.size
+    repl = replicated(mesh)
+    shard = frag_sharded(mesh)
+    updates = {}
+    fields = []
+    for f in rank_fields():
+        a = getattr(dfm, f)
+        if f in ROW_SHARD_FIELDS and a.ndim >= 1 and a.shape[0] > 1:
+            n = a.shape[0]
+            want = pad_to_multiple(n, n_dev)
+            if want != n:
+                pad = jnp.zeros((want - n,) + a.shape[1:], a.dtype)
+                a = jnp.concatenate([a, pad], axis=0)
+            updates[f] = jax.device_put(a, shard)
+            fields.append(f)
+        else:
+            updates[f] = jax.device_put(a, repl)
+    out = dataclasses.replace(dfm, **updates)
+    # plain attrs (not pytree fields): which planes are sharded + the mesh
+    object.__setattr__(out, "_row_shard_fields", tuple(fields))
+    object.__setattr__(out, "_row_shard_mesh", mesh)
+    host_sa = getattr(dfm, "_host_sa", None)
+    if host_sa is not None:
+        object.__setattr__(out, "_host_sa", host_sa)
+    return out
+
+
+def rank_fields():
+    from gsalign_tpu.ops.rank import DFM_DATA_FIELDS
+    return DFM_DATA_FIELDS
+
+
 def pad_to_multiple(n: int, m: int) -> int:
     return -(-n // m) * m
 

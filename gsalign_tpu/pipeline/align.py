@@ -121,7 +121,8 @@ def compare_genomes(fm: FMIndex,
                     dp_fn=None,
                     mesh=None,
                     write_vcf_file: bool = True,
-                    plot_prefix: Optional[str] = None):
+                    plot_prefix: Optional[str] = None,
+                    shard_index_rows: bool = False):
     """Run the full comparison. query_records: [(name, ascii uint8[]), ...].
 
     With a mesh (jax.sharding.Mesh over the "frag" axis), the two batched
@@ -136,6 +137,11 @@ def compare_genomes(fm: FMIndex,
     chr_index = ChrLocIndex(genome)
     ref_chars = genome.chars_fwd_rc()
     dfm = DeviceFMIndex.from_host(fm)
+    if shard_index_rows and mesh is not None:
+        # beyond-HBM mode: big table rows sharded over the mesh, seed
+        # lanes replicated (docs/SCALING_3GB.md item 1)
+        from gsalign_tpu.parallel import mesh as mesh_lib
+        dfm = mesh_lib.shard_index_rows(dfm, mesh)
     stats = RunStats()
     timer = StageTimer()
     collector = VariantCollector()
