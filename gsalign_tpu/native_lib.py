@@ -47,16 +47,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if not _build():
             return None
         lib = ctypes.CDLL(_LIB_PATH)
-        lib.sais_u8_i32.restype = ctypes.c_int
-        lib.sais_u8_i32.argtypes = [
+        lib.sais_u8_i32_mt.restype = ctypes.c_int
+        lib.sais_u8_i32_mt.argtypes = [
             np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
             ctypes.c_int32,
-            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
-        lib.sais_u8_i64.restype = ctypes.c_int
-        lib.sais_u8_i64.argtypes = [
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int]
+        lib.sais_u8_i64_mt.restype = ctypes.c_int
+        lib.sais_u8_i64_mt.argtypes = [
             np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
             ctypes.c_int64,
-            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int]
         for idx_t, suf in ((np.int32, "i32"), (np.int64, "i64")):
             fn = getattr(lib, f"par_gather_u16_{suf}")
             fn.restype = None
@@ -138,24 +140,28 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return _lib
 
 
-def sais(text_with_sentinel: np.ndarray) -> Optional[np.ndarray]:
+def sais(text_with_sentinel: np.ndarray,
+         threads: Optional[int] = None) -> Optional[np.ndarray]:
     """Suffix array of a uint8 text whose last byte is the unique 0 sentinel.
 
     Returns int64[n] or None if the native library is unavailable.
+    Threaded: every SA-IS phase except the loop-carried induction scans
+    parallelizes per block (see native/sais.cpp).
     """
     lib = get_lib()
     if lib is None:
         return None
+    nt = threads or default_threads()
     t = np.ascontiguousarray(text_with_sentinel, dtype=np.uint8)
     n = int(t.shape[0])
     if n < (1 << 31):
         sa = np.empty(n, dtype=np.int32)
-        rc = lib.sais_u8_i32(t, n, sa)
+        rc = lib.sais_u8_i32_mt(t, n, sa, nt)
         if rc != 0:
             raise RuntimeError(f"sais_u8_i32 failed: {rc}")
         return sa
     sa = np.empty(n, dtype=np.int64)
-    rc = lib.sais_u8_i64(t, n, sa)
+    rc = lib.sais_u8_i64_mt(t, n, sa, nt)
     if rc != 0:
         raise RuntimeError(f"sais_u8_i64 failed: {rc}")
     return sa
