@@ -342,10 +342,20 @@ def _build_t3_index(sa_full: np.ndarray, g_ctx: np.ndarray, t3: np.ndarray,
     # seconds of page faults at 100 Mb scale
     t3_cp = np.zeros((n3_blocks + 1, 64), dtype=cp_dtype)
     from gsalign_tpu import native_lib
-    cnt_all = native_lib.block_counts(t3[:rows], 64, threads)
-    if cnt_all is not None:
-        nb = cnt_all.shape[0]
-        t3_cp[1: 1 + nb] = cnt_all             # shifted: exclusive cumsum
+    # windowed: one whole-range native call returns [n_blocks, 64] int64 —
+    # ~25 GB of transients at 6.2 G rows (the 3 Gb config) — so the count
+    # pass streams fixed windows of rows into t3_cp instead (the fixed-
+    # memory-budget arithmetic of the reference's builder,
+    # src/BWT_Index/bwt_gen.c:162-205, reborn); 2^28 rows -> <= 1 GB
+    # transient per window, identical totals (windows align to blocks)
+    CNT_WINDOW = 1 << 28
+    cnt_ok = native_lib.get_lib() is not None
+    if cnt_ok:
+        for s in range(0, rows, CNT_WINDOW):
+            e = min(s + CNT_WINDOW, rows)
+            cnt = native_lib.block_counts(t3[s:e], 64, threads)
+            b0 = s >> 7
+            t3_cp[b0 + 1: b0 + 1 + cnt.shape[0]] = cnt.astype(cp_dtype)
     else:
         # small slabs keep each bincount's bin range (slab/128*64 ids)
         # inside L2 — the same bincount over one 2^27 slab is 36x slower

@@ -26,16 +26,14 @@ from gsalign_tpu.index.fmindex import FMIndex, WORDS_PER_BLOCK
 UNION_ROW = 16   # uint32 words per row of the single-char rank table
 T3_ROW_WIDE = 100  # wide fused rows: 64 cp-low + 4 carry words + 32 syms
 # comb_pairs layout offsets (see the field's docstring)
-INIT_OFF = 2 * (65536 + 136)           # INIT-order starts plane (+ sentinel)
-# SA placement threshold. Measured A/B on one v5e at 100 Mb (SA plane
-# 800 MB, 4096-lane slabs): the Pallas masked per-row gather costs MORE
-# than the ride-along whole-plane sweep (seed 4.89 s vs 3.94 s) — steady
-# state has ~B/8 lanes entering direct mode per iteration, and ~500 DMA
-# issues/iteration exceed the XLA sweep cost. The split only pays off when
-# the plane is far larger than the per-iteration entry row cost, i.e. the
-# 300 Mbp top of the direct-mode range (SA ~2.4 GB). GSALIGN_SA_SPLIT=1/0
-# forces it for A/B runs.
-SA_SPLIT_BYTES = 1536 * 2 ** 20        # above this the SA leaves comb_pairs
+INIT_OFF = 65536 + 136                 # narrow packed: INIT starts-pair rows
+INIT_OFF_WIDE = 2 * (65536 + 136)      # wide flattened: INIT starts plane
+# SA placement history: round 3 kept the SA riding the comb gather below
+# 1.5 GB because the Pallas per-row DMA alternative measured slower
+# (~1.7 us per entering lane). Round 4 removed the dilemma: entry lanes
+# compact into K slots and ONE plain XLA gather on the standalone sa_rows
+# plane resolves them (seeding sa_mode "xlak") — the O(n) SA plane leaves
+# the per-iteration gather entirely.
 # INIT jump order is scale-dependent: order 10 (4 MB plane) below this
 # seq_len, order 12 (67 MB plane) above. Every scan iteration sweeps the
 # whole plane (XLA gather cost model), so small genomes want the small
@@ -46,9 +44,9 @@ SA_SPLIT_BYTES = 1536 * 2 ** 20        # above this the SA leaves comb_pairs
 INIT12_MIN_SEQLEN = 64 * 2 ** 20
 
 
-def sa_off(order: int) -> int:
-    """comb_pairs offset of the SA ride-along plane (sa_in_comb only)."""
-    return INIT_OFF + 4 ** order + 1
+def comb_rows(order: int) -> int:
+    """Total comb_pairs rows for an INIT order."""
+    return INIT_OFF + 4 ** order
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -80,27 +78,29 @@ class DeviceFMIndex:
     c64: jnp.ndarray          # rdtype [65]
     t3_exc_pos: jnp.ndarray   # rdtype [3]
     t3_exc_chr: jnp.ndarray   # int32 [3]
-    # The seeding scan's per-iteration pair lookups, flattened 1-D so one
-    # gather with per-lane SELECTED indices serves every scan class:
-    # [c8 lo (65536) | lut lo (136) | c8 sz | lut sz | c10 starts (4^10+1)]
-    # — the INIT jump table is ORDER 10, derived at load time from the
-    # stored order-12 counts: every XLA TPU gather re-reads its whole
-    # table per call, so the 4^12 starts plane was a 67 MB sweep on EVERY
-    # scan iteration; 4^10 starts are 4 MB for a jump only two bases
-    # shorter. Sizes are NOT stored: sz = starts[g+1] - starts[g] minus
-    # the <= 10 short-suffix +1 steps recorded in init_corr (keys g where
-    # a step lands at g+1).
-    # The lut rows are
-    #  rows   0..63   triple INIT  (C64[g], C64[g+1]-C64[g])
-    #  rows  64..67   single INIT by query base c (L2[3-c]+1, L2[c+1]-L2[c])
-    #  rows  68..131  triple EXT base (C64[g], 0)
-    #  rows 132..135  single EXT base by class c (L2[c]+1, 0)
-    # (see seeding._seed_scan). Tables keyed per query position must be 1-D
-    # on TPU (minor-dim tile padding); this combined CLASS-keyed table is
-    # what makes that possible. Direct-mode indexes append the FULL suffix
-    # array at SA_OFF so the scan's occurrence-resolution gather rides the
-    # same kernel (the sa_samples field is then a [1] dummy).
-    comb_pairs: jnp.ndarray   # rdtype [SA_OFF (+ seq_len+1 when direct)]
+    # The seeding scan's per-iteration class lookup. NARROW layout
+    # (round 4): int64 1-D plane of PACKED (lo | sz << 32) per class row —
+    # ONE gather with ONE per-lane index serves every scan class (the
+    # previous flattened layout needed 2B indices/iteration for the lo
+    # and sz planes, and gather cost is per-index latency-bound at large
+    # B; a [M, 2] table is not an option — TPU pads minor dims to 128):
+    #  rows      0..65535   INIT-8   (c8lo[g], c8sz[g])
+    #  rows  65536..65599   triple INIT  (C64[g], C64[g+1]-C64[g])
+    #  rows  65600..65603   single INIT by base c (L2[3-c]+1, L2[c+1]-L2[c])
+    #  rows  65604..65667   triple EXT base (C64[g], 0)
+    #  rows  65668..65671   single EXT base by class c (L2[c]+1, 0)
+    #  rows  INIT_OFF + g   INIT-order (starts[g], starts[g+1]) — the size
+    #    is starts[g+1] - starts[g] minus the <= order short-suffix +1
+    #    steps recorded in init_corr (keys g where a step lands at g+1).
+    #    ORDER 10 is derived at load time from the stored order-12 counts
+    #    for small genomes (4 ** 10 packed rows = 8 MB vs 134 MB at 12).
+    # WIDE layout (values exceed 32 bits; wide is never direct): the old
+    # flattened int64 planes [c8 lo | lut lo | c8 sz | lut sz | starts
+    # (+ sentinel)] with TWO selected indices per lane (INIT_OFF_WIDE).
+    # The suffix array NEVER rides this table (round 4): direct-mode
+    # occurrence resolution gathers K compacted entry lanes from the
+    # standalone sa_rows plane instead (seeding sa_mode "xlak").
+    comb_pairs: jnp.ndarray   # int64 [comb_rows(order)] | wide flattened
     # INIT-order-mer keys g whose block size needs a -1 vs
     # starts[g+1]-starts[g] (short-suffix steps at g+1; duplicates legal),
     # padded with -1; room for the up-to-11 step keys at order 12
@@ -215,32 +215,31 @@ class DeviceFMIndex:
         # lb == 0 only shifts the whole table (no block affected)
         keys = steps[steps > 0] - 1
         corr[:keys.shape[0]] = keys
-        comb_parts = [c8[:, 0], lut[:, 0], c8[:, 1], lut[:, 1],
-                      starts_init, np.asarray([fm.seq_len + 1], np.int64)]
-        # SA placement: small direct indexes keep the full SA riding the
-        # per-iteration comb gather (one call, modest sweep); above the
-        # threshold the sweep dominates every scan iteration and the SA
-        # moves to the standalone sa_rows table (Pallas per-row gather in
-        # the scan). GSALIGN_SA_SPLIT=1/0 forces the choice for A/B runs.
-        env = os.environ.get("GSALIGN_SA_SPLIT")
-        sa_in_comb = True
-        if direct_ok:
-            if env in ("0", "1"):
-                sa_in_comb = env == "0"
-            else:
-                sa_in_comb = (fm.seq_len + 1) * 4 <= SA_SPLIT_BYTES
+        if wide:
+            # values exceed 32 bits: flattened lo/sz planes, two indices
+            comb = np.concatenate(
+                [c8[:, 0], lut[:, 0], c8[:, 1], lut[:, 1],
+                 starts_init, np.asarray([fm.seq_len + 1], np.int64)])
+        else:
+            # packed (lo | sz << 32) rows, ONE index per lane per iteration
+            starts_ext = np.concatenate(
+                [starts_init, np.asarray([fm.seq_len + 1], np.int64)])
+            lo = np.concatenate([c8[:, 0], lut[:, 0], starts_ext[:-1]])
+            sz = np.concatenate([c8[:, 1], lut[:, 1], starts_ext[1:]])
+            comb = (lo.astype(np.uint64)
+                    | (sz.astype(np.uint64) << np.uint64(32))).view(np.int64)
+        # The SA never rides the comb gather (round 4): direct-mode lanes
+        # resolve their occurrence from the standalone sa_rows plane via
+        # the K-compacted gather (seeding sa_mode "xlak"), so the scan's
+        # per-iteration gather never touches the O(n) SA plane at all.
+        sa_in_comb = False
         if direct_ok:
             sa_field = np.zeros(1, dtype=np.int32)
-            if sa_in_comb:
-                comb_parts.append(fm.sa_samples)
-                sa_rows = np.zeros(1, dtype=np.int32)
-            else:
-                from gsalign_tpu.ops.gather_pallas import pad_table
-                sa_rows = pad_table(fm.sa_samples, dtype=np.int32)
+            from gsalign_tpu.ops.gather_pallas import pad_table
+            sa_rows = pad_table(fm.sa_samples, dtype=np.int32)
         else:
             sa_field = fm.sa_samples
             sa_rows = np.zeros(1, dtype=np.int32)
-        comb = np.concatenate(comb_parts)
         dfm = DeviceFMIndex(
             union=jnp.asarray(union),
             t3=jnp.asarray(rows3),
@@ -250,7 +249,7 @@ class DeviceFMIndex:
             c64=jnp.asarray(fm.c64, dtype=rdt),
             t3_exc_pos=jnp.asarray(fm.t3_exc_pos, dtype=rdt),
             t3_exc_chr=jnp.asarray(fm.t3_exc_chr, dtype=jnp.int32),
-            comb_pairs=jnp.asarray(comb, dtype=rdt),
+            comb_pairs=jnp.asarray(comb, dtype=jnp.int64),
             init_corr=jnp.asarray(corr, dtype=jnp.int32),
             text_rows=jnp.asarray(text_rows),
             sa_rows=jnp.asarray(sa_rows),
@@ -586,8 +585,6 @@ def resolve_sa(dfm: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     With a full SA (sa_intv == 1) this is a single gather."""
     if dfm.sa_intv == 1:
         if dfm.direct_ok:
-            if dfm.sa_in_comb:
-                return dfm.comb_pairs[sa_off(dfm.init_order) + k]
             return dfm.sa_rows[k].astype(dfm.rdtype)
         return _plane_fetch(dfm, "sa_samples", k)
     k = k.astype(dfm.rdtype)

@@ -161,11 +161,12 @@ def _seed_scan_impl(dfm: DeviceFMIndex,
                init12: bool = True,
                sa_mode: str = "comb"):
     # sa_mode: how direct-mode lanes resolve their unique occurrence.
-    #   "comb"          SA plane rides the comb_pairs gather (sa_in_comb)
-    #   "xla"           standalone sa_rows, plain XLA gather (mesh runs /
-    #                   Pallas unavailable) — full sweep per iteration
-    #   "pallas"        masked per-row DMA gather, entry lanes only
-    #   "pallas_interp" same, interpreter mode (CPU tests)
+    #   "xlak"          entry lanes compact into K slots, ONE plain XLA
+    #                   gather on the standalone sa_rows plane (default)
+    #   "xla"           plain whole-B XLA gather on sa_rows (A/B)
+    #   "pallas"        masked per-row DMA gather, entry lanes only (A/B)
+    #   "pallas_interp" same, interpreter mode (CPU kernel-logic tests)
+    #   "none"          index is not direct-capable
     B = starts.shape[0]
     i32 = jnp.int32
     u32 = jnp.uint32
@@ -278,26 +279,30 @@ def _seed_scan_impl(dfm: DeviceFMIndex,
         can3 = iv_ext & (ext_pos + 2 < ext_stops) & real3 & ~tri_failed
         cls = jnp.where(can3, cls3, cls1)
 
-        # pair-table row selection (lo index; the sz row is lo + half for
-        # the c8/lut planes; the c12 plane stores only STARTS, so sz is
-        # starts[g+1] - starts[g] minus the <= 12 c12_corr step keys)
+        # class-table row selection; sz semantics: the INIT-order rows
+        # carry starts[g+1], so sz is starts[g+1] - starts[g] minus the
+        # <= order short-suffix step keys; every other row carries sz
         i3_lo_idx = 65536 + cls3
         i1_lo_idx = 65536 + 64 + (3 - cls1)
         init_lo_idx = jnp.where(
-            init_can12, rank_ops.INIT_OFF + cls_init,
+            init_can12, (rank_ops.INIT_OFF_WIDE if dfm.wide
+                         else rank_ops.INIT_OFF) + cls_init,
             jnp.where(init_can8, cls8,
                       jnp.where(init_can3, i3_lo_idx, i1_lo_idx)))
-        init_sz_idx = jnp.where(init_can12, i32(1), half) + init_lo_idx
         ext_lo_idx = jnp.where(can3, i3_lo_idx, i1_lo_idx)
         idx_a = jnp.where(in_init, init_lo_idx, ext_lo_idx)
-        idx_b = jnp.where(in_init, init_sz_idx, idx_a)
-        if direct and sa_mode == "comb":
-            # the direct path's SA lookup rides the same gather kernel
-            sa_idx = rank_ops.sa_off(order) \
-                + jnp.clip(ik1, 0, n_sa - 1).astype(i32)
-            idx_a = jnp.where(in_dir, sa_idx, idx_a)
-        vals = dfm.comb_pairs[jnp.concatenate([idx_a, idx_b])]
-        sel_a, sel_b = vals[:B], vals[B:]
+        if dfm.wide:
+            # flattened lo/sz planes: two selected indices per lane
+            init_sz_idx = jnp.where(init_can12, i32(1), half) + init_lo_idx
+            idx_b = jnp.where(in_init, init_sz_idx, idx_a)
+            vals = dfm.comb_pairs[jnp.concatenate([idx_a, idx_b])]
+            sel_a = vals[:B].astype(rdt)
+            sel_b = vals[B:].astype(rdt)
+        else:
+            # packed (lo | sz << 32) rows: ONE gather, ONE index per lane
+            v = dfm.comb_pairs[idx_a]
+            sel_a = (v & jnp.int64(0xFFFFFFFF)).astype(rdt)
+            sel_b = (v >> jnp.int64(32)).astype(rdt)
         corr_n = jnp.sum(cls_init[:, None] == dfm.init_corr[None, :],
                          axis=1, dtype=i32)
         init_sz = jnp.where(init_can12,
@@ -333,9 +338,22 @@ def _seed_scan_impl(dfm: DeviceFMIndex,
         if direct:
             sl = i32(seq_len)
             need = in_dir & ~s["dir_set"]     # lanes resolving their SA now
-            if sa_mode == "comb":
-                rc_pos = sel_a.astype(i32)    # rode the comb gather
-                enter = need
+            if sa_mode == "xlak":
+                # K-compacted plain XLA gather on the standalone SA plane:
+                # only the handful of lanes ENTERING direct mode this
+                # iteration contribute indices, so the O(n) plane costs
+                # K-index latency instead of a 2B-index ride-along sweep.
+                # Overflow lanes stall one iteration and retry.
+                K = min(_SA_GATHER_K, B)
+                posn = jnp.cumsum(need.astype(i32)) - 1          # [B]
+                slot = jnp.where(need & (posn < K), posn, -1)
+                hotK = slot[:, None] == jnp.arange(K, dtype=i32)[None, :]
+                ikc = jnp.clip(ik1, 0, n_sa - 1).astype(i32)
+                idxK = jnp.sum(jnp.where(hotK, ikc[:, None], 0),
+                               axis=0, dtype=i32)
+                resK = dfm.sa_rows[idxK]
+                enter = need & (slot >= 0)
+                rc_pos = resK[jnp.clip(posn, 0, K - 1)]
             elif sa_mode == "xla":
                 # split-SA fallback (mesh runs / no Pallas): plain gather
                 rc_pos = dfm.sa_rows[jnp.clip(ik1, 0, n_sa - 1)
@@ -755,18 +773,18 @@ def _launch_scan(dfm, q_rows, starts, emit_stops, ext_stops,
 
 
 def _pick_sa_mode(dfm, mesh) -> str:
-    """Choose the scan's direct-mode SA resolution path (see _seed_scan).
-    Split-SA indexes (rank.from_host moved the SA out of comb_pairs) use
-    the Pallas masked gather when it is usable: on a TPU backend that
-    passes the probe, or interpreter mode on CPU (so tests exercise the
-    kernel logic). Mesh runs wrap the scan in shard_map (_shard_scan), so
-    the Pallas call runs per-device and needs no GSPMD partitioning."""
-    if not dfm.direct_ok or dfm.sa_in_comb:
-        return "comb"
-    from gsalign_tpu.ops import gather_pallas
-    if jax.default_backend() == "tpu":
-        return "pallas" if gather_pallas.probe() else "xla"
-    return "pallas_interp"
+    """Choose the scan's direct-mode SA resolution path (see _seed_scan):
+    "xlak" (K-compacted plain gather on the standalone SA plane) is the
+    default everywhere — it replaced both the comb ride-along (whose O(n)
+    plane dominated the per-iteration gather) and the Pallas per-row DMA
+    (~1.7 us scalar-issue per entering lane). GSALIGN_SA_MODE overrides
+    for A/B runs ("xla", "pallas", "pallas_interp")."""
+    if not dfm.direct_ok:
+        return "none"
+    env = os.environ.get("GSALIGN_SA_MODE")
+    if env:
+        return env
+    return "xlak"
 
 
 def _fetch_scan(B, raw, max_out, n_shards=1):

@@ -100,21 +100,23 @@ def main():
         flags = (meta >> u32(22)).astype(i32)
         b1c = 3 - ((flags >> 2) & 3)
         half = i32(65536 + 136)
+        # historical probe: the SA no longer rides comb_pairs (round 4
+        # xlak split) — stand in a standalone sa_rows gather instead
+        sa_look = (look % (sl - 200)).astype(i32)
         idx7 = jnp.concatenate([cls8, 65536 + cls3, 65536 + 64 + b1c,
                                 half + cls8, half + 65536 + cls3,
-                                half + 65536 + 64 + b1c,
-                                rank_ops.sa_off(dfm.init_order)
-                                + (look % (sl - 200))])
+                                half + 65536 + 64 + b1c])
+        sa_vals = dfm.sa_rows[sa_look]
         vals = dfm.comb_pairs[idx7]
         k2 = (look.astype(i32) % (sl - 200)).astype(dfm.rdtype)
         cnt = rank_ops.occ_t3(dfm, jnp.concatenate([k2, k2 + 100]),
                               jnp.concatenate([flags > 0] * 2),
                               jnp.concatenate([cls3] * 2))
         acc = (s["acc"] + cnt[:B].astype(i32) + vals[:B].astype(i32)
-               + vals[6 * B:].astype(i32))
+               + sa_vals.astype(i32))
         return dict(s, k=s["k"] + 1, acc=acc)
 
-    print("2 +sa-in-comb          :",
+    print("2 +sa split gather     :",
           round(bench(lambda poslut, K: loop(body2, K)["acc"],
                       (poslut,), K), 1), "us/iter", flush=True)
 
