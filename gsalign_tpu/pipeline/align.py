@@ -10,6 +10,7 @@ whole-array device launches here; stage order and all filters are preserved.
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
 import time
 from typing import List, Optional
@@ -298,6 +299,18 @@ def compare_genomes(fm: FMIndex,
         return (qname, qry_chars, qry_codes, blocks, n, aln_len_sum,
                 aln_score_sum, dup_n, chunks, private)
 
+    _wall = [time.time()]
+
+    def wallmark(label):
+        # env-gated WALL-clock phase profile (timer.stage sums THREAD
+        # time across workers, which over-counts overlapped phases)
+        if os.environ.get("GSALIGN_WALLPROF"):
+            now = time.time()
+            print(f"[wall] {label}: {now - _wall[0]:.3f}s "
+                  f"(t+{now - t0:.3f})", file=sys.stderr, flush=True)
+            _wall[0] = now
+
+    wallmark("seed+pass1+dp")
     n_workers = min(len(planned), max(1, cfg.thread_num))
     if n_workers > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -306,6 +319,7 @@ def compare_genomes(fm: FMIndex,
         pool.shutdown()
     else:
         outcomes = map(pass2_work, planned)
+    wallmark("pass2-pool")
 
     first_out = True
     for (qname, qry_chars, qry_codes, blocks, n, aln_len_sum,
@@ -348,9 +362,11 @@ def compare_genomes(fm: FMIndex,
         results.append(ChromosomeResult(qname, blocks, n, aln_len_sum,
                                         aln_score_sum))
 
+    wallmark("consume+emit")
     if sink is not None:
         with timer.stage("output"):   # residual disk time not yet overlapped
             sink.close()
+    wallmark("sink-drain")
     if stats.local_alignment_num > 0:
         log(f"\tAlignment#={stats.local_alignment_num} "
             f"(total alignment length={stats.total_alignment_length}) "
@@ -367,4 +383,5 @@ def compare_genomes(fm: FMIndex,
             f"[{output_prefix}.vcf].", verbose)
         write_vcf(f"{output_prefix}.vcf", collector, genome.names,
                   genome.lengths, reference_name=output_prefix)
+    wallmark("vcf-write")
     return stats, collector, results
