@@ -161,9 +161,10 @@ def _seed_scan_impl(dfm: DeviceFMIndex,
                init12: bool = True,
                sa_mode: str = "comb"):
     # sa_mode: how direct-mode lanes resolve their unique occurrence.
-    #   "xlak"          entry lanes compact into K slots, ONE plain XLA
-    #                   gather on the standalone sa_rows plane (default)
-    #   "xla"           plain whole-B XLA gather on sa_rows (A/B)
+    #   "xla"           plain whole-B XLA gather on sa_rows (default —
+    #                   measured fastest; gather cost is per-index)
+    #   "xlak"          entry lanes compact into K slots, ONE K-index
+    #                   gather on sa_rows (A/B; one-hot cost > savings)
     #   "pallas"        masked per-row DMA gather, entry lanes only (A/B)
     #   "pallas_interp" same, interpreter mode (CPU kernel-logic tests)
     #   "none"          index is not direct-capable
@@ -243,9 +244,12 @@ def _seed_scan_impl(dfm: DeviceFMIndex,
         # needs only ITS class's (lo, sz) pair.
         look = jnp.where(in_ext, ext_pos, cursor)
         look_safe = jnp.clip(look, 0, n_qrow * 256 - 1)
-        q_cmp = jnp.clip(ext_pos, 0, n_qrow * 256 - 1)   # direct compare pos
-        qrows2 = q_rows[jnp.concatenate([look_safe >> 8, q_cmp >> 8])]
-        cls12, real3, b1ok, real8, amb_w = _meta16(qrows2[:B],
+        # the direct comparator reads the row at ext_pos — but every EXT
+        # lane (direct included) has look == ext_pos, so the metadata
+        # gather's row IS the comparator's row: one B-index gather, not 2B
+        q_cmp = look_safe                                # direct compare pos
+        qrows1 = q_rows[look_safe >> 8]
+        cls12, real3, b1ok, real8, amb_w = _meta16(qrows1,
                                                    look_safe & 255)
         cls_init = cls12 & ((1 << (2 * order)) - 1)
         cls8 = cls12 & 0xFFFF
@@ -389,7 +393,7 @@ def _seed_scan_impl(dfm: DeviceFMIndex,
             p_safe = jnp.clip(p, 0, seq_len - 1)
             q_safe = q_cmp
             trow = dfm.text_rows[p_safe >> 8]                 # [B, 32]
-            qrow = qrows2[B:]      # [B, 64] — rode the metadata gather
+            qrow = qrows1          # [B, 64] — IS the metadata gather's row
             tw = _extract256(trow, p_safe & 255)
             qw = _extract256(qrow[:, :32], q_safe & 255)
             aw = _extract256(qrow[:, 32:], q_safe & 255)
@@ -509,7 +513,57 @@ def _seed_scan_impl(dfm: DeviceFMIndex,
             n_active=n_active, n_iter=s["n_iter"] + 1,
         )
 
-    final = jax.lax.while_loop(cond, body, init_state)
+    # ---- phased lane compaction ----
+    # Per-iteration cost is dominated by per-lane gather indices, but the
+    # loop runs until the SLOWEST lane finishes (measured at 250 Mb:
+    # finish_iter mean 273 vs max 477 — the active-lane integral is ~57%
+    # of B*max). So the scan runs as a cascade of while_loops of halving
+    # width: each phase exits once n_active fits the next width, active
+    # lanes compact to the front (stable order), and the final state is
+    # re-assembled by one gather per phase. Lanes are independent and a
+    # finished lane is inert in the body, so results are bit-identical to
+    # the single-loop scan. NOTE: `body`/`cond` read starts/emit_stops/
+    # ext_stops/hard_stops/B from the enclosing scope at TRACE time, so
+    # rebinding them between while_loop constructions re-parameterizes
+    # each phase (deliberate late binding).
+    B0 = B
+    widths = [B]
+    while len(widths) < 5 and widths[-1] % 2 == 0 and widths[-1] >= 512:
+        widths.append(widths[-1] // 2)
+    per_lane = ("phase", "cursor", "ext_start", "ext_pos", "ik1", "ik2",
+                "tri_failed", "dir_set", "dir_off", "out_meta", "out_k0",
+                "out_fr", "out_n", "poison", "finish_iter")
+    saved = []
+    s = init_state
+    for p, W in enumerate(widths):
+        thresh = widths[p + 1] if p + 1 < len(widths) else 0
+        s = jax.lax.while_loop(
+            lambda st, th=i32(thresh): st["n_active"] > th, body, s)
+        if p + 1 == len(widths):
+            break
+        W2 = widths[p + 1]
+        active = ~lane_done(s["phase"], s["cursor"])
+        # stable: actives keep original relative order (reassembly cumsum)
+        act_first = jnp.argsort((~active).astype(jnp.int8), stable=True)
+        idx2 = act_first[:W2].astype(i32)  # all actives (<= W2) + done pad
+        saved.append((s, active))
+        s = {**{f: s[f][idx2] for f in per_lane},
+             "n_active": s["n_active"], "n_iter": s["n_iter"]}
+        starts = starts[idx2]
+        emit_stops = emit_stops[idx2]
+        ext_stops = ext_stops[idx2]
+        hard_stops = hard_stops[idx2]
+        B = W2
+    fin = s
+    for S_p, active in reversed(saved):
+        Wp = active.shape[0]
+        pos = jnp.cumsum(active.astype(i32), dtype=i32) - 1
+        src = jnp.where(active, i32(Wp) + pos,
+                        jnp.arange(Wp, dtype=i32))
+        fin = {f: jnp.concatenate([S_p[f], fin[f]], axis=0)[src]
+               for f in per_lane}
+    final = fin
+    B = B0
     # Results are fetched with ONE host round trip (the launcher issues
     # copy_to_host_async; the tunnel's ~37 ms per-np.asarray latency
     # applies once, not per array): per-lane scalars ride one [B, 4]
@@ -774,17 +828,21 @@ def _launch_scan(dfm, q_rows, starts, emit_stops, ext_stops,
 
 def _pick_sa_mode(dfm, mesh) -> str:
     """Choose the scan's direct-mode SA resolution path (see _seed_scan):
-    "xlak" (K-compacted plain gather on the standalone SA plane) is the
-    default everywhere — it replaced both the comb ride-along (whose O(n)
-    plane dominated the per-iteration gather) and the Pallas per-row DMA
-    (~1.7 us scalar-issue per entering lane). GSALIGN_SA_MODE overrides
-    for A/B runs ("xla", "pallas", "pallas_interp")."""
+    "xla" (plain whole-B gather on the standalone SA plane) is the default
+    everywhere — measured at 250 Mb (sa_rows 2 GB, B=4096): 1.94 s warm
+    scan vs 2.67 s for the K-compacted one-hot variant ("xlak" — the
+    [B, K] one-hot reduction costs more than the 4096-index gather it
+    saves) and vs the Pallas per-row DMA (~1.7 us scalar-issue per
+    entering lane). XLA TPU gather cost is per-INDEX latency, not
+    table-size — the round-2 whole-plane-sweep model does not hold on
+    this toolchain. GSALIGN_SA_MODE overrides for A/B runs ("xlak",
+    "pallas", "pallas_interp")."""
     if not dfm.direct_ok:
         return "none"
     env = os.environ.get("GSALIGN_SA_MODE")
     if env:
         return env
-    return "xlak"
+    return "xla"
 
 
 def _fetch_scan(B, raw, max_out, n_shards=1):

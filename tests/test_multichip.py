@@ -35,13 +35,12 @@ def test_sharded_seeding_matches_unsharded(setup):
         np.testing.assert_array_equal(a, b)
 
 
-def test_sharded_seeding_split_sa_uses_pallas(monkeypatch):
-    """Mesh runs must keep the split-SA Pallas gather (VERDICT r2 #5): the
-    shard_map wrapper runs the kernel per-device, so _pick_sa_mode no longer
-    falls back to the whole-plane "xla" sweep, and the sharded seed set is
-    identical to single-device."""
+def test_sharded_seeding_direct_sa_parity(monkeypatch):
+    """Direct-mode indexes resolve occurrences from the standalone SA plane
+    with a plain per-lane gather ("xla", the measured-fastest mode — XLA
+    TPU gather cost is per-index, not table-size); mesh runs shard the
+    lanes per device and must produce the identical seed set."""
     from gsalign_tpu.ops import seeding as seeding_mod
-    monkeypatch.setenv("GSALIGN_SA_SPLIT", "1")
     jax.clear_caches()
     rng = np.random.default_rng(21)
     ref = random_genome(rng, 2500)
@@ -51,7 +50,7 @@ def test_sharded_seeding_split_sa_uses_pallas(monkeypatch):
     dfm = DeviceFMIndex.from_host(fm)
     assert dfm.direct_ok and not dfm.sa_in_comb
     mesh = mesh_lib.make_mesh(jax.devices()[:8])
-    assert seeding_mod._pick_sa_mode(dfm, mesh) != "xla"
+    assert seeding_mod._pick_sa_mode(dfm, mesh) == "xla"
     qry = ref.copy()
     subs = rng.random(len(qry)) < 0.02
     qry[subs] = (qry[subs] + 1) % 4

@@ -57,6 +57,17 @@ def main():
         dt = time.time() - t0
         fi = getattr(seeding._fetch_scan, "last_finish_iters", None)
         it = int(fi.max()) if fi is not None and len(fi) else -1
+        if fi is not None and len(fi):
+            fi = np.asarray(fi)
+            # lane-iteration integral: active lanes summed over iterations
+            # (= what a perfectly-compacted scan would pay) vs B * max
+            integral = int(fi.sum())
+            full = len(fi) * it
+            qs = np.percentile(fi, [50, 75, 90, 99]).astype(int)
+            print(f"    finish_iters: max={it} mean={fi.mean():.0f} "
+                  f"p50/75/90/99={list(qs)} "
+                  f"integral={integral} ({100.0*integral/max(full,1):.1f}% "
+                  f"of B*max)")
         rounds.append((len(starts), it, dt))
         return out
 
