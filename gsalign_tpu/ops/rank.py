@@ -111,7 +111,7 @@ class DeviceFMIndex:
     # dummy when direct mode is off (sampled SA / wide). NB: slice gathers
     # at arbitrary word offsets from a flat array were measured ~30x SLOWER
     # than aligned row gathers — keep the duplicated-row layout.
-    text_rows: jnp.ndarray    # uint32 [ceil(2N/256), 32] | [1, 1]
+    text_rows: jnp.ndarray    # uint32 [ceil(2N/1024), 128] | [1, 1]
     # Large direct indexes move the full SA OUT of comb_pairs (sa_in_comb
     # False) into this standalone int32 table (1024-padded for the Pallas
     # masked per-row gather): riding along in comb made EVERY scan
@@ -184,10 +184,19 @@ class DeviceFMIndex:
             from gsalign_tpu.index.fmindex import pack_bwt_codes
             text = fm.genome.codes_fwd_rc()
             n_rows_t = -(-fm.seq_len // 256)
-            padded = np.zeros((n_rows_t + 1) * 256, dtype=np.uint8)
+            # four 512-base windows (own 16 words + 256-base lookahead)
+            # per table row: the minor dim is then exactly one 128-lane
+            # tile, so XLA keeps the table row-major with zero padding
+            # and the scan's per-row gather reads ONE contiguous 512 B
+            # line — at [*, 32] XLA chose a transposed layout (to dodge
+            # 32->128 tile padding) and the gather cost 141 us/iter vs
+            # ~60 for the equal-byte q_rows gather (250 Mb trace)
+            n4 = -(-n_rows_t // 4)
+            padded = np.zeros((n4 * 4 + 1) * 256, dtype=np.uint8)
             padded[:fm.seq_len] = text
-            pk = pack_bwt_codes(padded).reshape(n_rows_t + 1, 16)
-            text_rows = np.concatenate([pk[:-1], pk[1:]], axis=1)
+            pk = pack_bwt_codes(padded).reshape(n4 * 4 + 1, 16)
+            text_rows = np.concatenate([pk[:-1], pk[1:]],
+                                       axis=1).reshape(n4, 128)
         else:
             text_rows = np.zeros((1, 1), dtype=np.uint32)
         c8 = fm.c8

@@ -180,7 +180,6 @@ def _seed_scan_impl(dfm: DeviceFMIndex,
     use_init = min_seed_length > order and init12
     direct = dfm.direct_ok
     n_sa = dfm.seq_len + 1 if direct else dfm.sa_samples.shape[0]
-    n_trow = dfm.text_rows.shape[0]
     n_qrow = q_rows.shape[0]
     seq_len = dfm.seq_len
 
@@ -392,7 +391,15 @@ def _seed_scan_impl(dfm: DeviceFMIndex,
             q = ext_pos
             p_safe = jnp.clip(p, 0, seq_len - 1)
             q_safe = q_cmp
-            trow = dfm.text_rows[p_safe >> 8]                 # [B, 32]
+            # text_rows packs 4 consecutive 512-base windows per table
+            # row (contiguous 128-word gather; see rank.from_host) —
+            # select this position's 32-word window on the VPU
+            jrow = p_safe >> 8
+            trow4 = dfm.text_rows[jrow >> 2]                  # [B, 128]
+            sub = (jrow & 3)[:, None]
+            trow = jnp.where(sub == 1, trow4[:, 32:64], trow4[:, 0:32])
+            trow = jnp.where(sub == 2, trow4[:, 64:96], trow)
+            trow = jnp.where(sub == 3, trow4[:, 96:128], trow)
             qrow = qrows1          # [B, 64] — IS the metadata gather's row
             tw = _extract256(trow, p_safe & 255)
             qw = _extract256(qrow[:, :32], q_safe & 255)
@@ -737,21 +744,49 @@ def _run_scan(dfm, q_rows, starts, emit_stops, ext_stops, hard_stops,
 
 
 class ScanResults:
-    """Seed-scan outputs held per slab; .lane(i) returns one lane's
-    decoded views: (qs_abs int64, ls, k0, fr, n, exit_pos, poison)."""
+    """Seed-scan outputs held per slab as FLAT per-lane-concatenated
+    arrays; .lane(i) returns one lane's decoded views: (qs_abs int64, ls,
+    k0, fr, n, exit_pos, poison). .flat() returns the whole result set in
+    one vectorized pass (the n_segments == 1 fast path)."""
 
     def __init__(self, slabs):
+        # slab tuple: (starts, qs_rel, ls, k0, fr, n, exits, poison) —
+        # qs_rel/ls/k0/fr flat (sum n entries), the rest per-lane [B]
         self.slabs = slabs
-        self._bounds = np.cumsum([s[1].shape[0] for s in slabs])
+        self._bounds = np.cumsum([s[5].shape[0] for s in slabs])
+        self._ends = [np.cumsum(s[5].astype(np.int64)) for s in slabs]
 
     def lane(self, i):
         s = int(np.searchsorted(self._bounds, i, side="right"))
         li = i - (int(self._bounds[s - 1]) if s else 0)
         starts, qs_rel, ls, k0, fr, n, exits, poi = self.slabs[s]
+        e = int(self._ends[s][li])
         m = int(n[li])
-        qs = qs_rel[li, :m].astype(np.int64) + int(starts[li])
-        return (qs, ls[li, :m], k0[li, :m], fr[li, :m], m,
+        b = e - m
+        qs = qs_rel[b:e].astype(np.int64) + int(starts[li])
+        return (qs, ls[b:e], k0[b:e], fr[b:e], m,
                 int(exits[li]), int(poi[li]))
+
+    def flat(self):
+        """All hits of all lanes, vectorized: (qs_abs int64, ls, k0, fr,
+        lane_global int64) in flat device order, plus per-lane
+        (n, exits, poison) arrays concatenated over slabs."""
+        qs_p, ls_p, k0_p, fr_p, lane_p = [], [], [], [], []
+        base = 0
+        for starts, qs_rel, ls, k0, fr, n, exits, poi in self.slabs:
+            B = n.shape[0]
+            rep = np.repeat(np.arange(B, dtype=np.int64), n.astype(np.int64))
+            qs_p.append(qs_rel.astype(np.int64) + starts[rep])
+            ls_p.append(ls)
+            k0_p.append(k0)
+            fr_p.append(fr)
+            lane_p.append(rep + base)
+            base += B
+        cat = np.concatenate
+        return (cat(qs_p), cat(ls_p), cat(k0_p), cat(fr_p), cat(lane_p),
+                cat([s[5] for s in self.slabs]),
+                cat([s[6] for s in self.slabs]),
+                cat([s[7] for s in self.slabs]))
 
 
 def _launch_scan(dfm, q_rows, starts, emit_stops, ext_stops,
@@ -845,20 +880,29 @@ def _pick_sa_mode(dfm, mesh) -> str:
     return "xla"
 
 
+def _seg_arange(n):
+    """[0..n0), [0..n1), ... as one flat int64 array."""
+    n = n.astype(np.int64)
+    total = int(n.sum())
+    return np.arange(total) - np.repeat(np.cumsum(n) - n, n)
+
+
 def _fetch_scan(B, raw, max_out, n_shards=1):
     """Bring one slab's results to host (the compact copies are already in
     flight, so the np.asarray calls share one round trip) and unpack the
-    (qpos_rel|len, k0, freq) planes. The compact flat arrays are expanded
-    back to dense [B, width] with a trivial numpy scatter; the full planes
-    are fetched (one extra round trip) only when the slab overflowed the
-    compaction budget. Under shard_map (n_shards > 1) each device compacts
-    its OWN lane shard at local cumsum offsets, so the flat arrays are
-    expanded per contiguous per-device segment. Planes stay int32/int8
-    (per-lane consumers widen their tiny slices)."""
+    (qpos_rel|len, k0, freq) planes as FLAT per-lane-concatenated arrays
+    (entries of lane i at [ends[i]-n[i], ends[i]) — exactly the device
+    compaction layout, so the common case is a pair of slices with NO
+    host reshuffle). The full dense planes are fetched (one extra round
+    trip) only when the slab overflowed the compaction budget, then
+    flattened. Under shard_map (n_shards > 1) each device compacts its
+    OWN lane shard at local cumsum offsets; the per-shard segments are
+    stitched (lane order is preserved — shards hold contiguous lane
+    stripes). Arrays stay int32/int8 (consumers widen their slices)."""
     meta_d, mk_d, fr_d, mkc_d, frc_d = raw
     Bp = meta_d.shape[0]
     meta_h = np.asarray(meta_d)
-    n_all = meta_h[:, 0]
+    n_all = meta_h[:, 0].astype(np.int64)
     n, exits, poison = meta_h[:B, 0], meta_h[:B, 1], meta_h[:B, 2]
     _fetch_scan.last_finish_iters = meta_h[:B, 3]   # diagnostics hook
     # compact arrays are 2-D [p, cap]; sensitive mode returns the full
@@ -870,24 +914,30 @@ def _fetch_scan(B, raw, max_out, n_shards=1):
         per_shard = n_all.reshape(n_shards, Bl)
         dense = bool((per_shard.sum(axis=1) > cap_l).any())   # overflow
     if dense:   # sensitive mode / compaction overflow
-        ph = np.asarray(mk_d)[:, :B, :]
-        fr = np.asarray(fr_d)[:B]
+        phd = np.asarray(mk_d)
+        frd = np.asarray(fr_d)
+        rep = np.repeat(np.arange(Bp, dtype=np.int64), n_all)
+        cols = _seg_arange(n_all)
+        ph = phd[:, rep, cols]
+        fr = frd[rep, cols]
     else:
         mkc = np.asarray(mkc_d)
         frc = np.asarray(frc_d)
-        width = max(1, int(n_all.max()))
-        ph = np.zeros((mkc.shape[0], Bp, width), dtype=mkc.dtype)
-        frd = np.zeros((Bp, width), dtype=frc.dtype)
-        for d in range(n_shards):
-            nd = n_all[d * Bl:(d + 1) * Bl]
-            total = int(nd.sum())
-            offs = np.cumsum(nd) - nd
-            rows = d * Bl + np.repeat(np.arange(Bl), nd)
-            cols = np.arange(total) - np.repeat(offs, nd)
-            ph[:, rows, cols] = mkc[:, d * cap_l:d * cap_l + total]
-            frd[rows, cols] = frc[d * cap_l:d * cap_l + total]
-        ph = ph[:, :B, :]
-        fr = frd[:B]
+        if n_shards == 1:
+            total = int(n_all.sum())
+            ph = mkc[:, :total]
+            fr = frc[:total]
+        else:
+            parts = []
+            for d in range(n_shards):
+                t_d = int(n_all[d * Bl:(d + 1) * Bl].sum())
+                parts.append(np.arange(d * cap_l, d * cap_l + t_d,
+                                       dtype=np.int64))
+            idx = np.concatenate(parts)
+            ph = mkc[:, idx]
+            fr = frc[idx]
+    # padding lanes (>= B) emitted nothing, so the flat tail is empty —
+    # the per-lane layout over the REAL lanes is cumsum(n)
     qs_rel = (ph[0] & 0xFFFF).astype(np.int32)   # lane-relative positions
     ls = (ph[0] >> 16).astype(np.int32)
     if ph.shape[0] == 3:     # wide: k0 split into lo/hi words
@@ -1002,13 +1052,52 @@ def find_seeds_all(dfm: DeviceFMIndex,
             lane_key.append((ci, k))
             p += seg_len
             k += 1
-    lanes = {}
     res = _run_scan(
         dfm, q_rows, np.asarray(lane_starts, np.int32),
         np.asarray(lane_emit, np.int32), np.asarray(lane_ext, np.int32),
         np.asarray(lane_hard, np.int32),
         min_seed_length, max_seed_freq, sensitive, max_out, mesh=mesh,
         init12=init12)
+    hits_q, hits_l, hits_k0, hits_fr = [], [], [], []
+    if n_segments == 1:
+        # --- fast path: one lane per chunk, scanned with the real clip —
+        # no speculative reconciliation exists, so the result set is the
+        # flat device output below each lane's poison (POISON_NONE is
+        # int32 max, so the mask is uniform), plus re-scan rounds for the
+        # rare emit-buffer-overflow poisons. No per-lane host loop; the
+        # final per-chromosome lexsort fixes ordering.
+        max_rounds = 2 + -(-chunk // max(1, max_out))
+        ce_pend = np.asarray(lane_hard, np.int32)
+        for _round in range(max_rounds):
+            (qs_f, ls_f, k0_f, fr_f, lane_f,
+             n_l, exits_l, poi_l) = res.flat()
+            keep = qs_f < poi_l[lane_f].astype(np.int64)
+            if keep.all():
+                keep = slice(None)
+            hits_q.append(qs_f[keep])
+            hits_l.append(ls_f[keep])
+            hits_k0.append(k0_f[keep])
+            hits_fr.append(fr_f[keep])
+            pend = np.flatnonzero(poi_l != POISON_NONE)
+            if pend.size == 0:
+                break
+            ce_pend = ce_pend[pend]
+            st_pend = poi_l[pend].astype(np.int32)
+            res = _run_scan(
+                dfm, q_rows, st_pend, ce_pend, ce_pend, ce_pend,
+                min_seed_length, max_seed_freq, sensitive, max_out,
+                mesh=mesh, init12=init12)
+        else:
+            raise AssertionError("seed overflow re-scan did not converge")
+        q_pos, r_pos, length = _expand_hits(
+            dfm,
+            np.concatenate(hits_q) if hits_q else np.zeros(0, np.int64),
+            np.concatenate(hits_l) if hits_l else np.zeros(0, np.int32),
+            np.concatenate(hits_k0) if hits_k0 else np.zeros(0, np.int32),
+            np.concatenate(hits_fr) if hits_fr else np.zeros(0, np.int32))
+        return _split_per_chromosome(q_pos, r_pos, length, codes_list, offs)
+
+    lanes = {}
     for i, key in enumerate(lane_key):
         starts_i, ls_i, k0_i, fr_i, m, exit_i, poi_i = res.lane(i)
         adv = starts_i + (stride if stride else ls_i + 1)
@@ -1016,7 +1105,6 @@ def find_seeds_all(dfm: DeviceFMIndex,
                       fr_i, adv, exit_i, poi_i)
 
     # --- reconciliation (+ fixup rounds) ---
-    hits_q, hits_l, hits_k0, hits_fr = [], [], [], []
     n_chunks = len(chunk_bounds)
     entry = np.asarray([cs for cs, _ in chunk_bounds], dtype=np.int64)
     done = np.zeros(n_chunks, dtype=bool)
@@ -1088,7 +1176,12 @@ def find_seeds_all(dfm: DeviceFMIndex,
         np.concatenate(hits_l) if hits_l else np.zeros(0, np.int32),
         np.concatenate(hits_k0) if hits_k0 else np.zeros(0, np.int32),
         np.concatenate(hits_fr) if hits_fr else np.zeros(0, np.int32))
+    return _split_per_chromosome(q_pos, r_pos, length, codes_list, offs)
 
+
+def _split_per_chromosome(q_pos, r_pos, length, codes_list, offs):
+    """Split concatenated-coordinate hits per chromosome, sorted by
+    (PosDiff, qPos) — identical to the reference scan order."""
     results = []
     for codes, o in zip(codes_list, offs):
         L = int(codes.shape[0])

@@ -69,11 +69,23 @@ void induce(const TT* tt, I* sa, const std::vector<I>& starts,
     // The tt[j-1] read is a dependent random access and the loop's latency
     // bound; prefetching it a few iterations ahead (a stale sa[] read is
     // harmless — any value is -1 or a valid index) is worth ~2x.
+    // Two-stage software pipeline: stage 1 (i+48) prefetches the random
+    // tt read; stage 2 (i+16) re-reads it (L2-resident by now) to learn
+    // the bucket and prefetches the WRITE line sa[bkt[v]] — the write
+    // miss is the other half of the latency bound. Stale sa[] reads at
+    // either stage only skip a prefetch (the compute re-reads sa[i]).
     bkt.assign(starts.begin(), starts.begin() + k2);
     for (I i = 0; i < n; i++) {
-        if (i + 16 < n) {
-            I jp = sa[i + 16];
+        if (i + 48 < n) {
+            I jp = sa[i + 48];
             if (jp > 0) __builtin_prefetch(tt + jp - 1);
+        }
+        if (i + 16 < n) {
+            I jm = sa[i + 16];
+            if (jm > 0) {
+                TT vm = tt[jm - 1];
+                if (!(vm & 1)) __builtin_prefetch(sa + bkt[vm], 1);
+            }
         }
         I j = sa[i];
         if (j > 0) {
@@ -84,9 +96,16 @@ void induce(const TT* tt, I* sa, const std::vector<I>& starts,
     // induce S-type from L: descending scan, prepend at S ends
     for (I v = 0; v < k2; v++) bkt[v] = starts[v + 1];
     for (I i = n - 1; i >= 0; i--) {
-        if (i >= 16) {
-            I jp = sa[i - 16];
+        if (i >= 48) {
+            I jp = sa[i - 48];
             if (jp > 0) __builtin_prefetch(tt + jp - 1);
+        }
+        if (i >= 16) {
+            I jm = sa[i - 16];
+            if (jm > 0) {
+                TT vm = tt[jm - 1];
+                if (vm & 1) __builtin_prefetch(sa + bkt[vm] - 1, 1);
+            }
         }
         I j = sa[i];
         if (j > 0) {
