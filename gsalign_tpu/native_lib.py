@@ -136,6 +136,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
             ctypes.c_int]
+        _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.vcf_format.restype = ctypes.c_int64
+        lib.vcf_format.argtypes = [
+            ctypes.c_int64, _i64p, _i32p, _i64p, _u8p, _i64p,
+            ctypes.c_int64, _u8p, _u8p, _u8p, _i64p, _u8p, _u8p,
+            ctypes.c_int64, ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -359,3 +365,36 @@ def block_counts(vals: np.ndarray, k: int,
     lib.block_counts_u8(v, v.shape[0], k, out.reshape(-1),
                         threads or default_threads())
     return out
+
+
+def vcf_format(order, chrs, pos, name_buf, name_off, n_snv, ref_c, alt_c,
+               frag_buf, frag_off, types,
+               threads: Optional[int] = None) -> Optional[bytes]:
+    """Format the sorted VCF data lines natively (see native vcf_format):
+    returns the body bytes or None when the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = int(order.shape[0])
+    name_len = int((name_off[1:] - name_off[:-1]).max()) if \
+        name_off.shape[0] > 1 else 0
+    frag_total = int(frag_buf.shape[0])
+    # per-line bound: name + fixed 18 + <= 19 pos digits + <= 10 type
+    cap = n * (name_len + 64) + frag_total + 2 * int(n_snv)
+    out = np.empty(cap, dtype=np.uint8)
+    total = lib.vcf_format(
+        n, np.ascontiguousarray(order, dtype=np.int64),
+        np.ascontiguousarray(chrs, dtype=np.int32),
+        np.ascontiguousarray(pos, dtype=np.int64),
+        np.ascontiguousarray(name_buf, dtype=np.uint8),
+        np.ascontiguousarray(name_off, dtype=np.int64),
+        int(n_snv),
+        np.ascontiguousarray(ref_c, dtype=np.uint8),
+        np.ascontiguousarray(alt_c, dtype=np.uint8),
+        np.ascontiguousarray(frag_buf, dtype=np.uint8),
+        np.ascontiguousarray(frag_off, dtype=np.int64),
+        np.ascontiguousarray(types, dtype=np.uint8),
+        out, cap, threads or default_threads())
+    if total < 0:
+        return None
+    return memoryview(out)[:total]

@@ -337,6 +337,13 @@ def write_vcf(path: str, collector: VariantCollector, names: List[str],
         for i, name in enumerate(names):
             fh.write(f"##contig=<ID={name},length={int(lengths[i])}>\n")
         fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        fh.flush()
+        body = _format_body_native(c, names, order, all_chr, all_pos,
+                                   n_snv, s_ref, s_alt)
+        if body is not None:
+            with open(path, "ab") as bfh:
+                bfh.write(body)
+            return
         chr_l = all_chr.tolist()
         pos_l = all_pos.tolist()
         lines = []
@@ -351,3 +358,33 @@ def write_vcf(path: str, collector: VariantCollector, names: List[str],
                              f"{rf.decode('ascii')}\t{af.decode('ascii')}\t"
                              f"100\t*\tTYPE={mut_type[typ]}\n")
         fh.write("".join(lines))
+
+
+def _format_body_native(c: VariantCollector, names, order, all_chr,
+                        all_pos, n_snv, s_ref, s_alt):
+    """Native one-buffer formatting of the sorted VCF data lines (the
+    python f-string loop was ~1 s for 1.4 M lines at 250 Mb). Returns a
+    bytes-like or None when the native lib is unavailable."""
+    from gsalign_tpu import native_lib
+    if native_lib.get_lib() is None:
+        return None
+    name_bytes = [n.encode("ascii") for n in names]
+    name_buf = np.frombuffer(b"".join(name_bytes), dtype=np.uint8)
+    name_off = np.concatenate(
+        [[0], np.cumsum([len(b) for b in name_bytes])]).astype(np.int64)
+    frags = []
+    frag_lens = []
+    types = np.empty(len(c.other), dtype=np.uint8)
+    for j, (_, _, rf, af, typ, _) in enumerate(c.other):
+        frags.append(rf)
+        frags.append(af)
+        frag_lens.append(len(rf))
+        frag_lens.append(len(af))
+        types[j] = typ
+    frag_buf = np.frombuffer(b"".join(frags), dtype=np.uint8) if frags \
+        else np.zeros(0, dtype=np.uint8)
+    frag_off = np.concatenate([[0], np.cumsum(frag_lens)]).astype(np.int64) \
+        if frags else np.zeros(1, dtype=np.int64)
+    return native_lib.vcf_format(order, all_chr, all_pos, name_buf,
+                                 name_off, n_snv, s_ref, s_alt,
+                                 frag_buf, frag_off, types)

@@ -365,4 +365,101 @@ void maf_build_rows(const uint8_t* qry, const uint8_t* ref,
     gaps_out[1] = t2;
 }
 
+// VCF body formatter (pipeline/variants.write_vcf): emits the sorted data
+// lines "<name>\t<pos>\t.\t<ref>\t<alt>\t100\t*\tTYPE=<T>\n" into one
+// buffer. The python f-string loop this replaces was ~1 s for 1.4 M lines
+// at 250 Mb (the reference formats with fprintf, src/SeqVariant.cpp:135).
+// Two passes: per-line byte lengths (parallel) -> exclusive scan ->
+// parallel fill at exact offsets. Returns the total byte length, or -1 if
+// it would exceed cap (caller re-sizes; the python bound makes this
+// unreachable).
+int64_t vcf_format(int64_t n, const int64_t* order, const int32_t* chrs,
+                   const int64_t* pos, const uint8_t* name_buf,
+                   const int64_t* name_off, int64_t n_snv,
+                   const uint8_t* ref_c, const uint8_t* alt_c,
+                   const uint8_t* frag_buf, const int64_t* frag_off,
+                   const uint8_t* types, uint8_t* out, int64_t cap,
+                   int nt) {
+    static const char* TS[3] = {"SUBSTITUTE", "INSERT", "DELETE"};
+    static const int64_t TSL[3] = {10, 6, 6};
+    // fixed bytes: "\t" + "\t.\t" + "\t" + "\t100\t*\tTYPE=" + "\n" = 18
+    auto dec_len = [](int64_t v) {
+        int64_t l = 1;
+        while (v >= 10) { v /= 10; ++l; }
+        return l;
+    };
+    std::vector<int64_t> lens(size_t(n) + 1);
+    nt = clamp_threads(nt, n, 1 << 16);
+    parallel_ranges(n, nt, [&](int64_t s, int64_t e, int) {
+        for (int64_t k = s; k < e; ++k) {
+            int64_t i = order[k];
+            int64_t name_l = name_off[chrs[i] + 1] - name_off[chrs[i]];
+            int64_t ra_l, t_l;
+            if (i < n_snv) {
+                ra_l = 2;
+                t_l = TSL[0];
+            } else {
+                int64_t j = i - n_snv;
+                ra_l = (frag_off[2 * j + 1] - frag_off[2 * j])
+                     + (frag_off[2 * j + 2] - frag_off[2 * j + 1]);
+                t_l = TSL[types[j]];
+            }
+            lens[k] = name_l + dec_len(pos[i]) + ra_l + t_l + 18;
+        }
+    });
+    int64_t total = 0;
+    for (int64_t k = 0; k < n; ++k) {
+        int64_t l = lens[k];
+        lens[k] = total;
+        total += l;
+    }
+    lens[n] = total;
+    if (total > cap) return -1;
+    parallel_ranges(n, nt, [&](int64_t s, int64_t e, int) {
+        for (int64_t k = s; k < e; ++k) {
+            int64_t i = order[k];
+            uint8_t* p = out + lens[k];
+            int64_t c = chrs[i];
+            int64_t nl = name_off[c + 1] - name_off[c];
+            std::memcpy(p, name_buf + name_off[c], size_t(nl));
+            p += nl;
+            *p++ = '\t';
+            // decimal position (pos >= 0 always)
+            char dig[24];
+            int nd = 0;
+            int64_t v = pos[i];
+            do { dig[nd++] = char('0' + v % 10); v /= 10; } while (v);
+            while (nd) *p++ = dig[--nd];
+            std::memcpy(p, "\t.\t", 3);
+            p += 3;
+            const char* ts;
+            int64_t tsl;
+            if (i < n_snv) {
+                *p++ = ref_c[i];
+                *p++ = '\t';
+                *p++ = alt_c[i];
+                ts = TS[0];
+                tsl = TSL[0];
+            } else {
+                int64_t j = i - n_snv;
+                int64_t rl = frag_off[2 * j + 1] - frag_off[2 * j];
+                int64_t al = frag_off[2 * j + 2] - frag_off[2 * j + 1];
+                std::memcpy(p, frag_buf + frag_off[2 * j], size_t(rl));
+                p += rl;
+                *p++ = '\t';
+                std::memcpy(p, frag_buf + frag_off[2 * j + 1], size_t(al));
+                p += al;
+                ts = TS[types[j]];
+                tsl = TSL[types[j]];
+            }
+            std::memcpy(p, "\t100\t*\tTYPE=", 12);
+            p += 12;
+            std::memcpy(p, ts, size_t(tsl));
+            p += tsl;
+            *p++ = '\n';
+        }
+    });
+    return total;
+}
+
 }  // extern "C"

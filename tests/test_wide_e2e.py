@@ -31,8 +31,11 @@ def wide_fm():
                offsets=np.asarray([0]), holes=[], codes_fwd=codes)
     t0 = time.time()
     fm = build_fmindex(g)
+    import resource
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     print(f"\n[wide] index build ({2 * GENOME_LEN} rows): "
-          f"{time.time() - t0:.0f}s, sa_intv={fm.sa_intv}")
+          f"{time.time() - t0:.0f}s, sa_intv={fm.sa_intv}, "
+          f"peak RSS {rss_gb:.1f} GB")
     assert fm.seq_len == 2 * GENOME_LEN > (1 << 31)
     assert fm.rank_dtype == np.int64
     return fm
