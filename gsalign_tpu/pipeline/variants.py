@@ -205,24 +205,32 @@ def identify_variants(blocks: List[Block], qry_chars: np.ndarray,
                 events.append((j, 0, TYPE_INS, r_pos - 1, ref, alt_frag))
             else:                   # DP-aligned pair
                 walk_idx.append(j)
+        walk_snv = None
         if walk_idx:
-            _walk_alignments_batch(blk, walk_idx, qry_chars, ref_chars,
-                                   events)
+            walk_snv = _walk_alignments_batch(blk, walk_idx, qry_chars,
+                                              ref_chars, events)
 
         n_snv = 0 if snv_pair is None else len(snv_pair)
+        n_wsnv = 0 if walk_snv is None else len(walk_snv[0])
         n_ev = len(events)
-        if n_snv == 0 and n_ev == 0:
+        if n_snv == 0 and n_wsnv == 0 and n_ev == 0:
             continue
-        base = collector.take_seq(n_snv + n_ev)
-        # global emission order = (pair, column); merge the two streams
+        base = collector.take_seq(n_snv + n_wsnv + n_ev)
+        # global emission order = (pair, column); merge the three streams
+        # ((pair, col) keys are unique across them, so the stable argsort
+        # is fully key-determined)
         if n_snv:
             keys_snv = (snv_pair.astype(np.int64) << 32) | \
                 snv_col.astype(np.int64)
         else:
             keys_snv = np.zeros(0, dtype=np.int64)
+        if n_wsnv:
+            keys_wsnv = (walk_snv[0] << 32) | walk_snv[1]
+        else:
+            keys_wsnv = np.zeros(0, dtype=np.int64)
         keys_ev = np.asarray([(e[0] << 32) | e[1] for e in events],
                              dtype=np.int64)
-        all_keys = np.concatenate([keys_snv, keys_ev])
+        all_keys = np.concatenate([keys_snv, keys_wsnv, keys_ev])
         order = np.argsort(all_keys, kind="stable")
         rank = np.empty_like(order)
         rank[order] = np.arange(len(order))
@@ -232,9 +240,13 @@ def identify_variants(blocks: List[Block], qry_chars: np.ndarray,
                 blk.r_pos[snv_pair] + snv_col,
                 ref_chars[snv_flat_r], qry_chars[snv_flat_q],
                 base + rank[:n_snv])
+        if n_wsnv:
+            collector.add_snv_block(
+                chr_idx, walk_snv[2], walk_snv[3], walk_snv[4],
+                base + rank[n_snv:n_snv + n_wsnv])
         for k, (j, col, typ, r_raw, rf, af) in enumerate(events):
             collector.add_other(chr_idx, r_raw, rf, af, typ,
-                                base + int(rank[n_snv + k]))
+                                base + int(rank[n_snv + n_wsnv + k]))
     collector.finalize(chr_index)
 
 
@@ -291,10 +303,12 @@ def _walk_alignments_batch(blk, walk_idx, qry_chars: np.ndarray,
         frag1 = bytes(ref_chars[r_cur - 1: r_cur + ind_len])
         events.append((walk_idx[pid[i]], int(col[i]), TYPE_DEL,
                        r_cur - 1, frag1, frag1[:1]))
-    for i in snv_cols.tolist():
-        events.append((walk_idx[pid[i]], int(col[i]), TYPE_SNV,
-                       int(r_at[i]), bytes(a1[i:i + 1]),
-                       bytes(a2[i:i + 1])))
+    # SNVs stay columnar (the per-event python loop was the walk's cost):
+    # (pair, col) keys are disjoint from the indel events', so merging as
+    # a separate stream preserves the (pair, col) emission order exactly
+    wi = np.asarray(walk_idx, dtype=np.int64)
+    return (wi[pid[snv_cols]], col[snv_cols], r_at[snv_cols],
+            a1[snv_cols], a2[snv_cols])
 
 
 def write_vcf(path: str, collector: VariantCollector, names: List[str],
