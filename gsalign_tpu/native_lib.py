@@ -315,11 +315,15 @@ def maf_build_rows(qry_chars: np.ndarray, ref_chars: np.ndarray,
                    q_pos: np.ndarray, r_pos: np.ndarray,
                    row_len: np.ndarray, offs: np.ndarray, cls: np.ndarray,
                    dp1, dp2, emit_len: int, rev: bool,
-                   threads: Optional[int] = None):
+                   threads: Optional[int] = None,
+                   out1: Optional[np.ndarray] = None,
+                   out2: Optional[np.ndarray] = None):
     """Fused MAF/ALN row assembly for one block (see native maf_build_rows):
     one parallel pass emits both aligned rows with '-' counts, optionally
     reverse-complemented. dp1/dp2 are per-pair uint8 arrays (None for
     non-DP pairs; the caller must keep them alive and contiguous).
+    out1/out2: optional pre-allocated uint8 buffers of capacity >=
+    emit_len (buffer-pool reuse); the returned rows are slices of them.
     Returns (a1, a2, gaps1, gaps2) or None if the lib is unavailable."""
     lib = get_lib()
     if lib is None:
@@ -338,8 +342,10 @@ def maf_build_rows(qry_chars: np.ndarray, ref_chars: np.ndarray,
             keep.append(b)
         p1[j] = a.ctypes.data
         p2[j] = b.ctypes.data
-    a1 = np.empty(emit_len, dtype=np.uint8)
-    a2 = np.empty(emit_len, dtype=np.uint8)
+    a1 = out1[:emit_len] if out1 is not None \
+        and out1.shape[0] >= emit_len else np.empty(emit_len, dtype=np.uint8)
+    a2 = out2[:emit_len] if out2 is not None \
+        and out2.shape[0] >= emit_len else np.empty(emit_len, dtype=np.uint8)
     gaps = np.zeros(2, dtype=np.int64)
     lib.maf_build_rows(
         qry_chars, ref_chars,

@@ -53,7 +53,7 @@ class AsyncSink:
             item = self._q.get()
             if item is None:
                 return
-            path, mode, chunks = item
+            path, mode, chunks, recycle = item
             try:
                 if self._err is None:
                     with open(path, mode) as fh:
@@ -61,9 +61,15 @@ class AsyncSink:
                             fh.write(c)
             except BaseException as e:      # propagate on close()
                 self._err = e
+            finally:
+                from gsalign_tpu.utils import bufpool
+                for buf in recycle:         # safe: the writes are done
+                    bufpool.put(buf)
 
-    def submit(self, path: str, mode: str, chunks: list):
-        self._q.put((path, mode, chunks))
+    def submit(self, path: str, mode: str, chunks: list, recycle=()):
+        """recycle: uint8 buffers backing `chunks` that may be returned to
+        the row pool once this item's writes complete."""
+        self._q.put((path, mode, chunks, recycle))
 
     def close(self):
         self._q.put(None)
@@ -205,11 +211,19 @@ def _emit_rows(blk: Block, qry_chars: np.ndarray, ref_chars: np.ndarray,
     cls[implied & (blk.r_len == 0) & (blk.q_len > 0)] = 3
 
     out = None
+    bases = ()
     if not (implied & (blk.q_len != blk.r_len)
             & (blk.q_len > 0) & (blk.r_len > 0)).any():
+        from gsalign_tpu.utils import bufpool
+        b1, b2 = bufpool.get(emit_len), bufpool.get(emit_len)
         out = native_lib.maf_build_rows(
             qry_chars, ref_chars, blk.q_pos, blk.r_pos, row_len, offs, cls,
-            blk.aln1, blk.aln2, emit_len, rev)
+            blk.aln1, blk.aln2, emit_len, rev, out1=b1, out2=b2)
+        if out is None:
+            bufpool.put(b1)
+            bufpool.put(b2)
+        else:
+            bases = (b1, b2)    # recycled by the caller after the writes
     if out is None:
         a1, a2 = _build_rows(blk, qry_chars, ref_chars)
         a1, a2 = a1[:emit_len], a2[:emit_len]
@@ -226,7 +240,7 @@ def _emit_rows(blk: Block, qry_chars: np.ndarray, ref_chars: np.ndarray,
         blk.score -= ext
         blk.r_len[-1] -= ext
         blk.q_len[-1] -= ext
-    return a1, a2, gaps1, gaps2
+    return a1, a2, gaps1, gaps2, bases
 
 
 def _pad_names(qry_name: str, ref_name: str):
@@ -235,6 +249,15 @@ def _pad_names(qry_name: str, ref_name: str):
     else:
         qry_name = qry_name + " " * (len(ref_name) - len(qry_name))
     return qry_name, ref_name
+
+
+class MafChunks(list):
+    """Byte chunks plus the pooled row buffers they alias (returned to
+    utils.bufpool once the chunks' disk writes complete)."""
+
+    def __init__(self, *a):
+        super().__init__(*a)
+        self.recycle: list = []
 
 
 def assemble_maf_chunks(blocks: List[Block], qry_name: str,
@@ -247,16 +270,17 @@ def assemble_maf_chunks(blocks: List[Block], qry_name: str,
     parallel and write in order."""
     g = chr_index.genome
     qry_total = int(qry_chars.shape[0])
-    chunks = []
+    chunks = MafChunks()
     for blk in blocks:
         if not allow_duplication and blk.b_dup:
             continue
         ref_idx = blk.coor.chromosome_idx
         ref_name = g.names[ref_idx]
         qn, _ = _pad_names(qry_name, ref_name)
-        a1, a2, gaps1, gaps2 = _emit_rows(
+        a1, a2, gaps1, gaps2, bases = _emit_rows(
             blk, qry_chars, chr_index.genome.chars_fwd_rc(), chr_index,
             rev=not blk.coor.b_dir)
+        chunks.recycle.extend(bases)
         score = 1 if blk.b_dup else blk.score
         chr_len = int(g.lengths[ref_idx])
         if blk.coor.b_dir:
@@ -292,15 +316,19 @@ def write_maf(path: str, blocks: List[Block], qry_name: str,
     if chunks is None:
         chunks = assemble_maf_chunks(blocks, qry_name, qry_chars,
                                      chr_index, allow_duplication)
+    recycle = getattr(chunks, "recycle", ())
     mode = "wb" if first_chromosome else "ab"
     if first_chromosome:
         chunks = [b"##maf version=1\n"] + chunks
     if sink is not None:
-        sink.submit(path, mode, chunks)
+        sink.submit(path, mode, chunks, recycle=recycle)
         return
     with open(path, mode) as fh:
         for c in chunks:
             fh.write(c)
+    from gsalign_tpu.utils import bufpool
+    for buf in recycle:
+        bufpool.put(buf)
 
 
 def write_aln(path: str, blocks: List[Block], qry_name: str,
@@ -316,7 +344,7 @@ def write_aln(path: str, blocks: List[Block], qry_name: str,
             ref_idx = blk.coor.chromosome_idx
             ref_name = g.names[ref_idx]
             qn, rn = _pad_names(qry_name, ref_name)
-            a1, a2, _, _ = _emit_rows(
+            a1, a2, _, _, bases = _emit_rows(
                 blk, qry_chars, chr_index.genome.chars_fwd_rc(), chr_index,
                 rev=False)
             idy = int(1000 * (blk.score / blk.aln_len)) / 10.0 \
@@ -342,6 +370,9 @@ def write_aln(path: str, blocks: List[Block], qry_name: str,
                 ref_pos += p if blk.coor.b_dir else -p
                 qry_pos += q
             fh.write("*" * 100 + "\n")
+            from gsalign_tpu.utils import bufpool
+            for buf in bases:
+                bufpool.put(buf)
 
 
 # gnuplot line colors (src/DotPloting.cpp:3); only the top-5 are reachable

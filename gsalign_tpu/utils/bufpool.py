@@ -1,0 +1,45 @@
+"""Reusable big-buffer pool for host row assembly.
+
+On this host a FRESH numpy allocation first-touches at only
+~150-300 MB/s (kernel page zeroing of mmap'd arenas; glibc returns
+>32 MB blocks to the OS on free), which made the ~genome-sized MAF row
+buffers the dominant output-stage cost at 250 Mb. The pool keeps the
+largest recently-used uint8 buffers alive so warm runs write into
+already-faulted pages. Thread-safe; capped so idle processes don't pin
+memory. Buffers are recycled through AsyncSink once their disk writes
+complete (the memoryview chunks alias the pooled base array)."""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+
+_POOL: list = []                 # free uint8 base arrays
+_LOCK = threading.Lock()
+MAX_POOL_BYTES = 6 << 30
+
+
+def get(n: int) -> np.ndarray:
+    """A uint8 buffer of capacity >= n (callers slice to their length)."""
+    with _LOCK:
+        best = -1
+        for i, b in enumerate(_POOL):
+            if b.shape[0] >= n and (best < 0
+                                    or b.shape[0] < _POOL[best].shape[0]):
+                best = i
+        if best >= 0:
+            return _POOL.pop(best)
+    return np.empty(n, dtype=np.uint8)
+
+
+def put(buf) -> None:
+    """Return a buffer to the pool (accepts the exact arrays handed out by
+    get(); anything else is ignored)."""
+    if not isinstance(buf, np.ndarray) or buf.dtype != np.uint8 \
+            or buf.base is not None:
+        return
+    with _LOCK:
+        total = sum(b.shape[0] for b in _POOL)
+        if total + buf.shape[0] <= MAX_POOL_BYTES:
+            _POOL.append(buf)
