@@ -142,6 +142,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, _i64p, _i32p, _i64p, _u8p, _i64p,
             ctypes.c_int64, _u8p, _u8p, _u8p, _i64p, _u8p, _u8p,
             ctypes.c_int64, ctypes.c_int]
+        lib.outlier_bounds.restype = ctypes.c_int64
+        lib.outlier_bounds.argtypes = [
+            _i64p, _i64p, ctypes.c_int64, _i64p, _i64p, ctypes.c_int64,
+            _i64p]
         _lib = lib
         return _lib
 
@@ -404,3 +408,19 @@ def vcf_format(order, chrs, pos, name_buf, name_off, n_snv, ref_c, alt_c,
     if total < 0:
         return None
     return memoryview(out)[:total]
+
+
+def outlier_bounds(cand_k, cand_qp, q_pos, u):
+    """Native trigger walk for chain._outlier_pass: returns the interval
+    bounds array (WITHOUT the trailing n), or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cand_k = np.ascontiguousarray(cand_k, dtype=np.int64)
+    cand_qp = np.ascontiguousarray(cand_qp, dtype=np.int64)
+    q_pos = np.ascontiguousarray(q_pos, dtype=np.int64)
+    u = np.ascontiguousarray(u, dtype=np.int64)
+    out = np.empty(cand_k.shape[0] + 2, dtype=np.int64)
+    m = lib.outlier_bounds(cand_k, cand_qp, cand_k.shape[0],
+                           q_pos, u, u.shape[0], out)
+    return out[:m]

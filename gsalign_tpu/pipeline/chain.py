@@ -166,23 +166,28 @@ def _outlier_pass(q_pos, pd, b_seed, uniq, cfg, genome_size) -> None:
     # naive full-tail rescan per trigger was quadratic at 100 Mb scale.
     cand_k = np.nonzero(chg)[0]
     cand_qp = q_pos[u[cand_k]]
-    i_full = 0
-    base = 0                  # uniques consumed before the current reset
-    bounds = [0]
-    while base + 29 < u.size:
-        i1 = int(np.searchsorted(cand_k, base + 29))
-        i2 = int(np.searchsorted(cand_qp, q_pos[i_full] + 3000,
-                                 side="right"))
-        ci = max(i1, i2)
-        if ci >= cand_k.size:
-            break
-        k = int(cand_k[ci])
-        j = int(u[k])
-        bounds.append(j)
-        i_full = j
-        base = k + 1          # the trigger unique was counted, then reset
-    bounds.append(n)
-    bv = np.asarray(bounds, dtype=np.int64)
+    from gsalign_tpu import native_lib
+    nb = native_lib.outlier_bounds(cand_k, cand_qp, q_pos, u)
+    if nb is not None:
+        bv = np.concatenate([nb, [n]])
+    else:
+        i_full = 0
+        base = 0              # uniques consumed before the current reset
+        bounds = [0]
+        while base + 29 < u.size:
+            i1 = int(np.searchsorted(cand_k, base + 29))
+            i2 = int(np.searchsorted(cand_qp, q_pos[i_full] + 3000,
+                                     side="right"))
+            ci = max(i1, i2)
+            if ci >= cand_k.size:
+                break
+            k = int(cand_k[ci])
+            j = int(u[k])
+            bounds.append(j)
+            i_full = j
+            base = k + 1      # the trigger unique was counted, then reset
+        bounds.append(n)
+        bv = np.asarray(bounds, dtype=np.int64)
     # the intervals partition the group and the kill of one never affects
     # another (the predicate reads pd/uniq only), so batch them
     _remove_outlier_seeds_batch(pd, b_seed, uniq, bv[:-1], bv[1:], cfg,

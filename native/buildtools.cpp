@@ -365,6 +365,33 @@ void maf_build_rows(const uint8_t* qry, const uint8_t* ref,
     gaps_out[1] = t2;
 }
 
+// Outlier-sweep trigger walk (pipeline/chain._outlier_pass): the interval
+// bounds are a sequential recurrence over the unique-seed candidates (two
+// binary searches per trigger); ~46k python iterations at 250 Mb move
+// here. Returns the number of bounds written (caller appends n itself).
+int64_t outlier_bounds(const int64_t* cand_k, const int64_t* cand_qp,
+                       int64_t n_cand, const int64_t* q_pos,
+                       const int64_t* u, int64_t u_size,
+                       int64_t* bounds_out) {
+    int64_t m = 0;
+    bounds_out[m++] = 0;
+    int64_t base = 0, i_full = 0;
+    while (base + 29 < u_size) {
+        const int64_t* p1 = std::lower_bound(cand_k, cand_k + n_cand,
+                                             base + 29);
+        const int64_t* p2 = std::upper_bound(cand_qp, cand_qp + n_cand,
+                                             q_pos[i_full] + 3000);
+        int64_t ci = std::max(p1 - cand_k, p2 - cand_qp);
+        if (ci >= n_cand) break;
+        int64_t k = cand_k[ci];
+        int64_t j = u[k];
+        bounds_out[m++] = j;
+        i_full = j;
+        base = k + 1;
+    }
+    return m;
+}
+
 // VCF body formatter (pipeline/variants.write_vcf): emits the sorted data
 // lines "<name>\t<pos>\t.\t<ref>\t<alt>\t100\t*\tTYPE=<T>\n" into one
 // buffer. The python f-string loop this replaces was ~1 s for 1.4 M lines

@@ -28,6 +28,7 @@ def test_bufpool_roundtrip(tmp_path):
     from gsalign_tpu.utils import bufpool
     from gsalign_tpu.pipeline.output import AsyncSink
 
+    bufpool._POOL.clear()       # other tests share the process-global pool
     b = bufpool.get(1024)
     assert b.dtype == np.uint8 and b.shape[0] >= 1024
     b[:4] = (65, 66, 67, 68)
