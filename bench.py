@@ -127,12 +127,37 @@ def main():
                 with open(build_marker) as fh:
                     build_s = json.load(fh)["seconds"]
         else:
-            t0 = time.time()
-            fm = build_fmindex(pack_genome(read_fasta(ref_fa)))
-            build_s = round(time.time() - t0, 3)
-            save_index(fm, idx_prefix)
-            with open(build_marker, "w") as fh:
-                json.dump({"seconds": build_s}, fh)
+            # Build in a FRESH subprocess: building inline after another
+            # config's TPU aligns inflated the measured 100 Mb build 1.8x
+            # (99.1 s in-process vs 55.2 s clean on the same host/data) —
+            # the C bwt_index baseline is likewise timed as its own
+            # process, so this is also the fairer comparison.
+            import subprocess
+            build_s = None
+            code = (
+                "import time,json; t0=time.time();"
+                "from gsalign_tpu.genome.fasta import read_fasta;"
+                "from gsalign_tpu.genome.packing import pack_genome;"
+                "from gsalign_tpu.index.fmindex import build_fmindex;"
+                "from gsalign_tpu.index.io import save_index;"
+                f"fm=build_fmindex(pack_genome(read_fasta({ref_fa!r})));"
+                "dt=round(time.time()-t0,3);"   # pre-save: prior rounds'
+                f"save_index(fm, {idx_prefix!r});"  # marker semantics
+                f"json.dump({{'seconds': dt}}, open({build_marker!r},'w'))"
+            )
+            r = subprocess.run([sys.executable, "-c", code])
+            if r.returncode == 0 and os.path.exists(build_marker):
+                with open(build_marker) as fh:
+                    build_s = json.load(fh)["seconds"]
+            else:   # fallback: inline build (measurement then includes
+                    # this process's allocator/tunnel state)
+                t0 = time.time()
+                fm = build_fmindex(pack_genome(read_fasta(ref_fa)))
+                build_s = round(time.time() - t0, 3)
+                save_index(fm, idx_prefix)
+                with open(build_marker, "w") as fh:
+                    json.dump({"seconds": build_s}, fh)
+            fm = load_index(idx_prefix)
         qry_records = read_fasta(qry_fa)
         cfg = AlignConfig()
         out = os.path.join(d, "bench_out")
