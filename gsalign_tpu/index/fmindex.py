@@ -174,7 +174,12 @@ def build_fmindex(genome: Genome, sa_intv: Optional[int] = None,
     t3_packed, t3_cp, c64, t3_exc_pos, t3_exc_chr = _build_t3_index(
         sa_full, g_ctx, t3, text, n, cp_dtype, threads)
     c8 = _build_c8(text, n, threads)
-    c12 = _build_c12(text, n, threads)
+    # The order-12 jump table only serves the INIT-12 device path, which
+    # activates above INIT12_MIN_SEQLEN (ops/rank.py); below it the 268 MB
+    # table (and its multi-MB sparse persistence) is pure build overhead —
+    # the INIT-10 starts derive from a direct 4^10 histogram instead.
+    from gsalign_tpu.ops.rank import INIT12_MIN_SEQLEN
+    c12 = _build_c12(text, n, threads) if n > INIT12_MIN_SEQLEN else None
 
     return FMIndex(
         seq_len=n, primary=primary, l2=l2, bwt_packed=bwt_packed,

@@ -40,18 +40,21 @@ def save_index(fm: FMIndex, prefix: str) -> None:
     # size; its starts column is cumsum(counts) plus <= 13 short-suffix +1
     # steps (fmindex._build_c12), so persist only the counts (uint32 unless
     # a single 12-mer exceeds 2^32 occurrences) and the step positions.
-    from gsalign_tpu.index.fmindex import c12_step_keys
-    counts = fm.c12[:, 1]
-    c12_steps = c12_step_keys(fm.c12)
-    cdt = (np.int64 if counts.size and int(counts.max()) >= 2 ** 32
-           else np.uint32)
-    nz = np.nonzero(counts)[0]
+    # Small-genome indexes carry no c12 at all (fmindex.build_fmindex skips
+    # it below INIT12_MIN_SEQLEN); its absence from the .npz round-trips.
     extra = {}
-    if nz.size * 2 < counts.size:       # sparse beats a dense 4 B/key plane
-        extra["c12_idx"] = nz.astype(np.int32)
-        extra["c12_val"] = counts[nz].astype(cdt)
-    else:
-        extra["c12_sz"] = counts.astype(cdt)
+    if fm.c12 is not None:
+        from gsalign_tpu.index.fmindex import c12_step_keys
+        counts = fm.c12[:, 1]
+        extra["c12_steps"] = c12_step_keys(fm.c12)
+        cdt = (np.int64 if counts.size and int(counts.max()) >= 2 ** 32
+               else np.uint32)
+        nz = np.nonzero(counts)[0]
+        if nz.size * 2 < counts.size:   # sparse beats a dense 4 B/key plane
+            extra["c12_idx"] = nz.astype(np.int32)
+            extra["c12_val"] = counts[nz].astype(cdt)
+        else:
+            extra["c12_sz"] = counts.astype(cdt)
     # Atomic publish: the .npz write takes minutes at 250 Mb+ scale and a
     # concurrent reader gates loadability on the manifest, so write both
     # files to UNIQUE tmp names (two concurrent writers on one prefix must
@@ -67,7 +70,7 @@ def save_index(fm: FMIndex, prefix: str) -> None:
         lengths=g.lengths, offsets=g.offsets,
         t3_packed=fm.t3_packed, t3_cp=fm.t3_cp, c64=fm.c64,
         t3_exc_pos=fm.t3_exc_pos, t3_exc_chr=fm.t3_exc_chr, c8=fm.c8,
-        c12_steps=c12_steps, **extra,
+        **extra,
     )
     os.replace(tmp_npz, prefix + ".npz")
     tmp_json = f"{prefix}.json.tmp.{nonce}"
@@ -130,7 +133,8 @@ def load_index(prefix: str) -> FMIndex:
         t3_exc_pos=data["t3_exc_pos"],
         t3_exc_chr=data["t3_exc_chr"],
         c8=data["c8"],
-        c12=_unpack_c12(data, data["c12_steps"]),
+        c12=(_unpack_c12(data, data["c12_steps"])
+             if "c12_steps" in data else None),
     )
 
 

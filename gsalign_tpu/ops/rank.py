@@ -203,22 +203,25 @@ class DeviceFMIndex:
         if c8 is None:                     # pre-v4 in-memory index
             from gsalign_tpu.index.fmindex import _build_c8
             c8 = _build_c8(fm.genome.codes_fwd_rc(), fm.seq_len)
-        c12 = fm.c12
-        if c12 is None:                    # pre-v5 in-memory index
-            from gsalign_tpu.index.fmindex import _build_c12
-            c12 = _build_c12(fm.genome.codes_fwd_rc(), fm.seq_len)
         import os
         init_order = 12 if fm.seq_len > INIT12_MIN_SEQLEN else 10
         env_o = os.environ.get("GSALIGN_INIT_ORDER")
         if env_o in ("10", "12"):          # A/B override
             init_order = int(env_o)
         if init_order == 12:
+            c12 = fm.c12
+            if c12 is None:                # small index: c12 never built
+                from gsalign_tpu.index.fmindex import _build_c12
+                c12 = _build_c12(fm.genome.codes_fwd_rc(), fm.seq_len)
             starts_init = c12[:, 0]
             from gsalign_tpu.index.fmindex import c12_step_keys
             steps = c12_step_keys(c12)     # lb values of the +1 steps
-        else:
+        elif fm.c12 is not None:           # big index carries c12: reuse
             starts_init, steps = _derive_c10(
-                c12[:, 1], fm.genome.codes_fwd_rc(), fm.seq_len)
+                fm.c12[:, 1], fm.genome.codes_fwd_rc(), fm.seq_len)
+        else:                              # small index: direct histogram
+            starts_init, steps = _build_c10(
+                fm.genome.codes_fwd_rc(), fm.seq_len)
         corr = np.full(12, -1, dtype=np.int64)
         # a step at lb bumps starts[lb:], i.e. block lb-1's naive size;
         # lb == 0 only shifts the whole table (no block affected)
@@ -299,6 +302,28 @@ def _derive_c10(counts12: np.ndarray, text: np.ndarray, n: int):
             for j in range(10):
                 key = (key << 2) | int(text[p + j])
             counts10[key] += 1
+    return _c10_from_counts(counts10, text, n)
+
+
+def _build_c10(text: np.ndarray, n: int):
+    """ORDER-10 INIT jump starts straight from the text — used for small
+    indexes that never built (or persisted) a c12 table. Same short-suffix
+    step semantics as _derive_c10; the 4^10 histogram costs one vectorized
+    sweep over the text (~10 shifted adds + a bincount)."""
+    nk = 4 ** 10
+    if n >= 10:
+        t = text.astype(np.int64)
+        key = np.zeros(n - 9, dtype=np.int64)
+        for j in range(10):
+            key += t[j: n - 9 + j] << (2 * (9 - j))
+        counts10 = np.bincount(key, minlength=nk)
+    else:
+        counts10 = np.zeros(nk, dtype=np.int64)
+    return _c10_from_counts(counts10, text, n)
+
+
+def _c10_from_counts(counts10: np.ndarray, text: np.ndarray, n: int):
+    nk = 4 ** 10
     starts10 = np.zeros(nk, dtype=np.int64)
     np.cumsum(counts10[:-1], out=starts10[1:])
     steps = []

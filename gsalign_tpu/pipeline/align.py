@@ -158,6 +158,19 @@ def compare_genomes(fm: FMIndex,
     # src/GSAlign.cpp:483-493; lane stops make the results identical)
     qcodes_list = _codes_for(query_records)
     ref_codes_full = genome.codes_fwd_rc()
+    if output_prefix and cfg.output_format == 1:
+        # pre-fault MAF row buffers on a background thread WHILE the
+        # device seeds: the kernel's first-touch page zeroing of the
+        # ~chromosome-sized rows then overlaps device wait instead of
+        # serializing into the output stage (2 rows per in-flight
+        # chromosome, sized with indel slack)
+        import threading
+        from gsalign_tpu.utils import bufpool
+        n_flight = min(len(query_records), max(1, cfg.thread_num))
+        sizes = sorted((len(q) for _, q in query_records), reverse=True)
+        want = [int(s * 1.08) for s in sizes[:n_flight] for _ in (0, 1)]
+        threading.Thread(target=bufpool.prime, args=(want,),
+                         daemon=True).start()
     with device_trace(), timer.stage("seed"):
         all_seeds = find_seeds_all(
             dfm, qcodes_list,

@@ -89,7 +89,11 @@ def _build_rows(blk: Block, qry_chars: np.ndarray, ref_chars: np.ndarray):
     of it (seed pairs want query chars in both rows; equal-length pairs
     differ only at their few mismatch columns), and the small classes —
     direct-pair mismatches, pure-deletion ref spans, pure-insertion gap
-    spans, DP pairs — are patched on top."""
+    spans, DP pairs — are patched on top.
+
+    Rows are carved from utils.bufpool buffers (same as the native path),
+    so warm runs write into already-faulted pages; returns (a1, a2, bases)
+    with `bases` the pooled arrays to recycle after the disk writes."""
     from gsalign_tpu.pipeline.generate import _segment_indices
     n = blk.n
     has_aln = np.asarray([a is not None for a in blk.aln1])
@@ -111,29 +115,33 @@ def _build_rows(blk: Block, qry_chars: np.ndarray, ref_chars: np.ndarray):
     # native memcpy kernel when available; spans of the other classes are
     # fully overwritten below, so they may start as garbage).
     from gsalign_tpu import native_lib
+    from gsalign_tpu.utils import bufpool
     qcons = seeds | direct | gap_q
     qn = int(qry_chars.shape[0])
     ridx = np.nonzero(gap_r)[0]
     cidx = np.nonzero(qcons)[0]
+    b1, b2 = bufpool.get(total), bufpool.get(total)
     a2 = None
     if cidx.size:
         a2 = native_lib.seg_gather_u8(
             qry_chars, blk.q_pos[cidx], row_len[cidx],
-            out=np.empty(total, dtype=np.uint8), offs=offs[cidx])
+            out=b2[:total], offs=offs[cidx])
     if a2 is None:
+        a2 = b2[:total]
         idt = np.int32 if (total < 2**31 and qn < 2**31) else np.int64
         qdelta = (np.where(qcons, blk.q_pos, 0).astype(np.int64)
                   - offs[:-1]).astype(idt)
         src = np.repeat(qdelta, row_len)
         src += np.arange(total, dtype=idt)
         np.minimum(src, idt(qn - 1), out=src)   # bound garbage spans
-        a2 = qry_chars[src]
+        np.take(qry_chars, src, out=a2)
     if ridx.size:                      # deletion spans: query row is gaps
         a2[_segment_indices(offs[ridx], row_len[ridx])] = _GAP
     for j in dp_idx:
         o = int(offs[j])
         a2[o:o + row_len[j]] = blk.aln2[j]
-    a1 = a2.copy()
+    a1 = b1[:total]
+    np.copyto(a1, a2)
 
     didx = np.nonzero(direct)[0]
     if didx.size:                      # patch ref-row mismatch columns
@@ -157,7 +165,7 @@ def _build_rows(blk: Block, qry_chars: np.ndarray, ref_chars: np.ndarray):
     for j in dp_idx:
         o = int(offs[j])
         a1[o:o + row_len[j]] = blk.aln1[j]
-    return a1, a2
+    return a1, a2, (b1, b2)
 
 
 def _clip_amount(blk: Block, chr_index: ChrLocIndex) -> int:
@@ -225,7 +233,7 @@ def _emit_rows(blk: Block, qry_chars: np.ndarray, ref_chars: np.ndarray,
         else:
             bases = (b1, b2)    # recycled by the caller after the writes
     if out is None:
-        a1, a2 = _build_rows(blk, qry_chars, ref_chars)
+        a1, a2, bases = _build_rows(blk, qry_chars, ref_chars)
         a1, a2 = a1[:emit_len], a2[:emit_len]
         gaps1 = int((a1 == _GAP).sum())
         gaps2 = int((a2 == _GAP).sum())
@@ -295,11 +303,14 @@ def assemble_maf_chunks(blocks: List[Block], qry_name: str,
                       f"{blk.aln_len - gaps1} + {chr_len} ".encode())
         # buffer-protocol write: .tobytes() copied each multi-MB row
         # (the rows are fresh _emit_rows outputs, never mutated later,
-        # so handing views to the writer thread is safe)
-        chunks.append(memoryview(np.ascontiguousarray(a1)))
+        # so handing views to the writer thread is safe). memoryview()
+        # raises on a non-contiguous row — every _emit_rows path returns
+        # contiguous rows, and a silent ascontiguousarray copy here would
+        # re-pay the multi-MB first-touch cost the bufpool exists to avoid
+        chunks.append(memoryview(a1))
         chunks.append(f"\ns qry.{qn} {q_start} "
                       f"{blk.aln_len - gaps2} + {qry_total} ".encode())
-        chunks.append(memoryview(np.ascontiguousarray(a2)))
+        chunks.append(memoryview(a2))
         chunks.append(b"\n\n")
     return chunks
 

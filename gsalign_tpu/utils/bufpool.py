@@ -33,6 +33,32 @@ def get(n: int) -> np.ndarray:
     return np.empty(n, dtype=np.uint8)
 
 
+def prime(sizes) -> None:
+    """Pre-fault pool buffers for the given capacities (called on a
+    background thread while the device stages run, so the kernel's
+    first-touch page zeroing — the dominant output-stage cost on this
+    host — overlaps device wait instead of serializing into row
+    assembly). Capacities already satisfiable by free pooled buffers are
+    skipped; the pool byte cap is respected."""
+    reserved: set = set()       # ids of free buffers matched to a request
+    for n in sorted((int(s) for s in sizes), reverse=True):
+        if n <= 0:
+            continue
+        with _LOCK:
+            total = sum(b.shape[0] for b in _POOL)
+            match = next((b for b in _POOL
+                          if id(b) not in reserved and b.shape[0] >= n),
+                         None)
+            if match is not None:
+                reserved.add(id(match))
+        if match is not None or total + n > MAX_POOL_BYTES:
+            continue
+        buf = np.empty(n, dtype=np.uint8)
+        buf[::4096] = 0                     # touch every page once
+        buf[-1] = 0
+        put(buf)
+
+
 def put(buf) -> None:
     """Return a buffer to the pool (accepts the exact arrays handed out by
     get(); anything else is ignored)."""
