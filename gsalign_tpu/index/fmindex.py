@@ -167,12 +167,22 @@ def build_fmindex(genome: Genome, sa_intv: Optional[int] = None,
     if bwt_packed.shape[0] < want:
         bwt_packed = np.concatenate(
             [bwt_packed, np.zeros(want - bwt_packed.shape[0], dtype=np.uint32)])
+    del bcodes, per_block                # n bytes freed before the t3 build
 
     sa_dtype = np.int64 if wide else np.int32
     sa_samples = sa_full[::sa_intv].astype(sa_dtype)
 
-    t3_packed, t3_cp, c64, t3_exc_pos, t3_exc_chr = _build_t3_index(
-        sa_full, g_ctx, t3, text, n, cp_dtype, threads)
+    # the t3 build needs sa_full only for its 3 exception rows — at the
+    # 3 Gb config the SA is ~50 GB, so compute those first and DROP the
+    # builder's reference before the t3 tables allocate (the array
+    # actually frees when the SA was built in here; a caller-supplied
+    # sa_full stays alive on the caller's reference)
+    t3_exc_pos, t3_exc_chr, exc_rows = _t3_exceptions(
+        sa_full, text, n, cp_dtype)
+    sa_full = None
+    t3[exc_rows] = 0
+    t3_packed, t3_cp, c64 = _build_t3_index(g_ctx, t3, n, cp_dtype, threads)
+    del g_ctx, t3                        # 3n bytes freed before c8/c12
     c8 = _build_c8(text, n, threads)
     # The order-12 jump table only serves the INIT-12 device path, which
     # activates above INIT12_MIN_SEQLEN (ops/rank.py); below it the 268 MB
@@ -271,23 +281,13 @@ def c12_step_keys(c12: np.ndarray) -> np.ndarray:
                            side="left").astype(np.int64)
 
 
-def _build_t3_index(sa_full: np.ndarray, g_ctx: np.ndarray, t3: np.ndarray,
-                    text: np.ndarray, n: int, cp_dtype=np.int32,
-                    threads: Optional[int] = None):
-    """Order-3 (alphabet-64) BWT over all SA_full rows: T3[i] = the three
-    bases preceding suffix SA[i] as T[SA-3]*16 + T[SA-2]*4 + T[SA-1]. Rows
-    with SA < 3 lack a full 3-base left context: stored as 0 and corrected
-    at query time (class-0 subtraction for triple ranks; the true single
-    preceding char, kept in t3_exc_chr, re-added for single-char ranks).
-    One backward step with a triple symbol consumes three query bases — a
-    third of the rank queries of the seeding scan vs single-char stepping.
-
-    g_ctx is the pre-gathered packed context per SA row and t3 the order-3
-    symbol array already extracted from it (see build_fmindex).
-    """
+def _t3_exceptions(sa_full: np.ndarray, text: np.ndarray, n: int,
+                   cp_dtype=np.int32):
+    """The 3 t3 rows with SA in {0, 1, 2} (suffixes lacking a full 3-base
+    left context): returns (t3_exc_pos, t3_exc_chr, rows-to-zero). Found
+    by chunked scan (a whole-array nonzero materializes a 200 MB bool temp
+    at 100 Mb). This is the ONLY t3-build consumer of the full SA."""
     rows = n + 1
-    # exceptions: the 3 rows with SA in {0, 1, 2} — found by chunked scan
-    # (a whole-array nonzero materializes a 200 MB bool temp at 100 Mb)
     found = []
     CH = 1 << 24
     for s in range(0, rows, CH):
@@ -301,8 +301,25 @@ def _build_t3_index(sa_full: np.ndarray, g_ctx: np.ndarray, t3: np.ndarray,
     sa_small = sa_full[small]
     t3_exc_chr = np.where(sa_small == 0, -1,
                           text[np.maximum(sa_small, 1) - 1]).astype(np.int32)
-    t3[small] = 0
+    return t3_exc_pos, t3_exc_chr, small
 
+
+def _build_t3_index(g_ctx: np.ndarray, t3: np.ndarray, n: int,
+                    cp_dtype=np.int32, threads: Optional[int] = None):
+    """Order-3 (alphabet-64) BWT over all SA_full rows: T3[i] = the three
+    bases preceding suffix SA[i] as T[SA-3]*16 + T[SA-2]*4 + T[SA-1]. Rows
+    with SA < 3 lack a full 3-base left context: stored as 0 and corrected
+    at query time (class-0 subtraction for triple ranks; the true single
+    preceding char, kept in t3_exc_chr, re-added for single-char ranks) —
+    see _t3_exceptions, computed by the caller so the full SA can be freed
+    before these tables allocate. One backward step with a triple symbol
+    consumes three query bases — a third of the rank queries of the
+    seeding scan vs single-char stepping.
+
+    g_ctx is the pre-gathered packed context per SA row and t3 the order-3
+    symbol array already extracted from it (see build_fmindex).
+    """
+    rows = n + 1
     # C64[c]: rows sorting strictly below the suffix block whose first three
     # chars are c. The key coarsens suffix order to 3-char granularity with
     # each char mapped to c+1 and a missing char (field == 4: the $ row or a
@@ -382,7 +399,7 @@ def _build_t3_index(sa_full: np.ndarray, g_ctx: np.ndarray, t3: np.ndarray,
     padded[:rows] = t3
     # MSB-first 4x8-bit packing == a big-endian u32 view (no temporaries)
     t3_packed = padded.view(">u4").astype("=u4")
-    return t3_packed, t3_cp, c64, t3_exc_pos, t3_exc_chr
+    return t3_packed, t3_cp, c64
 
 
 # ---- host-side (numpy) reference queries, used by tests and small runs ----

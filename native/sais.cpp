@@ -24,11 +24,26 @@
 //   int sais_u8_i64(const uint8_t* text, int64_t n, int64_t* sa)
 
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
 
+#include <sys/resource.h>
+
 namespace {
+
+// GSALIGN_SAIS_DEBUG=1: print peak-RSS milestones per phase/recursion
+// level to stderr (memory-budget verification for the multi-GB builds).
+inline void dbg_rss(const char* phase, int64_t n, int depth) {
+    static const bool on = std::getenv("GSALIGN_SAIS_DEBUG") != nullptr;
+    if (!on) return;
+    struct rusage ru;
+    getrusage(RUSAGE_SELF, &ru);
+    std::fprintf(stderr, "[sais d%d n=%lld] %-12s peakRSS=%.1f GB\n",
+                 depth, (long long)n, phase, ru.ru_maxrss / 1e6);
+}
 
 // Threaded range runner (same pattern as buildtools.cpp). The INDUCTION
 // scans stay sequential — their bucket-front writes are loop-carried —
@@ -125,7 +140,8 @@ void par_fill_neg1(I* sa, I s, I e, int nt) {
 }
 
 template <typename I, typename TT>
-void sais_core(const TT* t, I* sa, I n, I k, int nt) {
+void sais_core(const TT* t, I* sa, I n, I k, int nt,
+               int depth = 0) {
     // n >= 1, t[n-1] is the unique smallest symbol.
     if (n == 1) { sa[0] = 0; return; }
     if (n < (1 << 20)) nt = 1;        // recursion tail: threads don't pay
@@ -134,6 +150,7 @@ void sais_core(const TT* t, I* sa, I n, I k, int nt) {
     // the seed type at a block's END is computed directly by scanning the
     // equal-char run forward (runs can't cross the sentinel, so the scan
     // terminates; reads are on the immutable text).
+    dbg_rss("enter", n, depth);
     std::vector<TT> ttv(n);
     TT* tt = ttv.data();
     auto type_at = [&](I p) -> TT {
@@ -159,8 +176,18 @@ void sais_core(const TT* t, I* sa, I n, I k, int nt) {
     };
 
     I k2 = (I)(k * 2);
+    // Deep recursion levels have HUGE alphabets (k approaches the reduced
+    // problem size once LMS-substring names go mostly-distinct), so the
+    // per-thread k2-sized histogram/offset vectors of the parallel
+    // branches — nt * k2 * 8 B, times up to two live at once — dominate
+    // peak RSS (~34 GB at the 6.2 G-row config's depth-2 level, measured).
+    // Above a 2 GB per-phase budget run those phases on the sequential
+    // single-vector path instead; they are linear passes over <= n1
+    // elements, seconds of wall next to the induction scans.
+    int nt_alph = ((int64_t)k2 * nt * (int64_t)sizeof(I)
+                   > (int64_t(1) << 31)) ? 1 : nt;
     std::vector<I> starts, bkt;
-    if (nt <= 1) {
+    if (nt_alph <= 1) {
         fused_bucket_starts<I, TT>(tt, n, k2, starts);
     } else {
         std::vector<std::vector<I>> hist(nt, std::vector<I>(k2, 0));
@@ -179,7 +206,7 @@ void sais_core(const TT* t, I* sa, I n, I k, int nt) {
     // each block's descending write window up front.
     par_fill_neg1<I>(sa, 0, n, nt);
     auto place_lms_from_text = [&]() {
-        if (nt <= 1) {
+        if (nt_alph <= 1) {
             bkt.assign(k2, 0);
             for (I v = 0; v < k2; v++) bkt[v] = starts[v + 1];
             for (I i = n - 1; i >= 1; i--)
@@ -210,7 +237,9 @@ void sais_core(const TT* t, I* sa, I n, I k, int nt) {
         });
     };
     place_lms_from_text();
+    dbg_rss("lms-placed", n, depth);
     induce<I, TT>(tt, sa, starts, bkt, n, k2);
+    dbg_rss("induce1", n, depth);
 
     // step 2: collect LMS in sorted order (stable compaction), name LMS
     // substrings. Naming parallelizes cleanly: diff[i] compares sa[i]
@@ -318,11 +347,12 @@ void sais_core(const TT* t, I* sa, I n, I k, int nt) {
                     (size_t)c[nt] * sizeof(I));
     }
     I* s1 = sa + n - n1;
+    dbg_rss("named", (int64_t)n1, depth);
 
     // step 3: sort the reduced problem (s1's last element is the sentinel's
     // name 0, unique and smallest, so the convention holds recursively)
     if (name < n1) {
-        sais_core<I, I>(s1, sa, n1, name, nt);
+        sais_core<I, I>(s1, sa, n1, name, nt, depth + 1);
     } else {
         par_ranges(int64_t(n1), nt, [&](int64_t s, int64_t e, int) {
             for (int64_t i = s; i < e; i++) sa[s1[i]] = (I)i;
@@ -353,6 +383,7 @@ void sais_core(const TT* t, I* sa, I n, I k, int nt) {
                     if (is_lms((I)i)) *o++ = (I)i;
             });
         }
+        dbg_rss("lms-tab", (int64_t)n1, depth);
         std::vector<I> sorted((size_t)n1);
         par_ranges(int64_t(n1), nt, [&](int64_t s, int64_t e, int) {
             for (int64_t i = s; i < e; i++) {
@@ -360,11 +391,12 @@ void sais_core(const TT* t, I* sa, I n, I k, int nt) {
                 sorted[i] = lms[sa[i]];
             }
         });
+        std::vector<I>().swap(lms);     // dead past here: n1*8 B off peak
 
         // step 5: final induced sort from the fully sorted LMS order —
         // descending placement, parallel per (block, class) window
         par_fill_neg1<I>(sa, 0, n, nt);
-        if (nt <= 1) {
+        if (nt_alph <= 1) {
             bkt.assign(k2, 0);
             for (I v = 0; v < k2; v++) bkt[v] = starts[v + 1];
             for (I i = n1 - 1;; i--) {
@@ -396,7 +428,9 @@ void sais_core(const TT* t, I* sa, I n, I k, int nt) {
             });
         }
     }
+    dbg_rss("final-place", n, depth);
     induce<I, TT>(tt, sa, starts, bkt, n, k2);
+    dbg_rss("done", n, depth);
 }
 
 }  // namespace
