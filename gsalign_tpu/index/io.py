@@ -15,7 +15,7 @@ import numpy as np
 from gsalign_tpu.genome.packing import Genome, Hole
 from gsalign_tpu.index.fmindex import FMIndex
 
-FORMAT_VERSION = 6
+FORMAT_VERSION = 7     # v7: small-genome indexes omit the c12 planes
 
 
 def save_index(fm: FMIndex, prefix: str) -> None:

@@ -40,19 +40,21 @@ def prime(sizes) -> None:
     host — overlaps device wait instead of serializing into row
     assembly). Capacities already satisfiable by free pooled buffers are
     skipped; the pool byte cap is respected."""
-    reserved: set = set()       # ids of free buffers matched to a request
+    with _LOCK:                 # one snapshot; matching is best-effort
+        free_sizes = sorted((b.shape[0] for b in _POOL), reverse=True)
+        total = sum(free_sizes)
+    todo = []
     for n in sorted((int(s) for s in sizes), reverse=True):
         if n <= 0:
             continue
-        with _LOCK:
-            total = sum(b.shape[0] for b in _POOL)
-            match = next((b for b in _POOL
-                          if id(b) not in reserved and b.shape[0] >= n),
-                         None)
-            if match is not None:
-                reserved.add(id(match))
-        if match is not None or total + n > MAX_POOL_BYTES:
+        if free_sizes and free_sizes[0] >= n:   # greedy: largest request
+            free_sizes.pop(0)                   # takes largest free buffer
             continue
+        todo.append(n)
+    for n in todo:
+        if total + n > MAX_POOL_BYTES:
+            continue
+        total += n
         buf = np.empty(n, dtype=np.uint8)
         buf[::4096] = 0                     # touch every page once
         buf[-1] = 0

@@ -45,8 +45,8 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     import gsalign_tpu  # noqa: F401  (enables x64)
     from gsalign_tpu.genome.packing import Genome
+    from gsalign_tpu.index import fmindex as fmindex_mod
     from gsalign_tpu.index.fmindex import build_fmindex
-    from gsalign_tpu.index.suffix_array import build_suffix_array
     from gsalign_tpu.parallel.mesh import make_mesh
 
     result = {"total_len": args.total_len}
@@ -57,23 +57,31 @@ def main():
     print(f"[3gb] generating {args.total_len} bp over 2 chromosomes "
           f"({l1} + {l2})", flush=True)
     rng = np.random.default_rng(2026)
-    codes = rng.integers(0, 4, args.total_len, dtype=np.int64).astype(np.uint8)
+    codes = rng.integers(0, 4, args.total_len, dtype=np.uint8)
     g = Genome(names=["big1", "big2"],
                lengths=np.asarray([l1, l2], dtype=np.int64),
                offsets=np.asarray([0, l1], dtype=np.int64),
                holes=[], codes_fwd=codes)
 
-    t0 = time.time()
-    text = g.codes_fwd_rc()
-    sa = build_suffix_array(text, prefer_device=False)
-    t_sa = time.time() - t0
-    result["sa_wall_s"] = round(t_sa, 1)
-    result["sa_rss_gb"] = round(rss_gb(), 1)
-    print(f"[3gb] SA-IS over {len(text)} rows: {t_sa:.0f}s "
-          f"(peak RSS {result['sa_rss_gb']} GB)", flush=True)
+    # SA timing via a wrapper INSIDE build_fmindex: holding our own
+    # sa_full reference here would defeat the builder's early SA free
+    # (fmindex.build_fmindex drops the ~50 GB array before the t3
+    # tables allocate — load-bearing for this host's 125 GB).
+    orig_bsa = fmindex_mod.build_suffix_array
 
-    fm = build_fmindex(g, sa_full=sa, prefer_device=False)
-    del sa, text
+    def timed_bsa(c, prefer_device=True):
+        t = time.time()
+        out = orig_bsa(c, prefer_device=False)
+        result["sa_wall_s"] = round(time.time() - t, 1)
+        result["sa_rss_gb"] = round(rss_gb(), 1)
+        print(f"[3gb] SA-IS over {len(c)} rows: {result['sa_wall_s']}s "
+              f"(peak RSS {result['sa_rss_gb']} GB)", flush=True)
+        return out
+
+    fmindex_mod.build_suffix_array = timed_bsa
+    t0 = time.time()
+    fm = build_fmindex(g, prefer_device=False)
+    fmindex_mod.build_suffix_array = orig_bsa
     t_build = time.time() - t0
     result["build_wall_s"] = round(t_build, 1)
     result["build_rss_gb"] = round(rss_gb(), 1)
@@ -99,7 +107,8 @@ def main():
     qrng = np.random.default_rng(7)
     s1 = l1 // 3
     s2 = l1 + l2 // 2
-    sl_rc = _mutate(codes[64_000_000:64_000_000 + L], qrng)
+    s_rc = l1 // 4      # RC locus maps to text pos 2N - s_rc - L: beyond
+    sl_rc = _mutate(codes[s_rc:s_rc + L], qrng)     # 2^31 at full scale
     qry_records = [
         ("q_chr1_fwd", DNA[_mutate(codes[s1:s1 + L], qrng)]),
         ("q_chr2_fwd", DNA[_mutate(codes[s2:s2 + L], qrng)]),
