@@ -142,7 +142,12 @@ def build_fmindex(genome: Genome, sa_intv: Optional[int] = None,
         t3 &= 0x3F
         bcodes = (t3 & 3)[sa_full > 0]   # $-removed BWT (prev1 field)
 
-    counts = np.bincount(text, minlength=4)[:4]
+    # chunked: np.bincount internally casts its input to intp, an 8n-byte
+    # transient (~50 GB at the 3 Gb config, measured at the edge of OOM
+    # while the SA is still resident)
+    counts = np.zeros(4, dtype=np.int64)
+    for s in range(0, n, 1 << 28):
+        counts += np.bincount(text[s:s + (1 << 28)], minlength=4)[:4]
     l2 = np.zeros(5, dtype=np.int64)
     l2[1:] = np.cumsum(counts)
 

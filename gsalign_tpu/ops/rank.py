@@ -150,13 +150,22 @@ class DeviceFMIndex:
         if wide:
             union = np.zeros((1, UNION_ROW), dtype=np.uint32)
             rows3 = np.empty((n3, T3_ROW_WIDE), dtype=np.uint32)
-            cp = fm.t3_cp
-            rows3[:, :64] = (cp & 0xFFFFFFFF).astype(np.uint32)
-            carry = ((cp >> 32) & 3).astype(np.uint32)       # [n3, 64]
-            cw = carry.reshape(n3, 4, 16)
+            # slab-wise: whole-table temporaries here (u32 carries + the
+            # shifted [n3, 4, 16] reduce input) are ~25 GB at 6.2 G rows,
+            # on top of the 19.4 GB output and the host t3_cp — enough to
+            # OOM the 3 Gb config's align phase (measured)
             shifts = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
-            rows3[:, 64:68] = np.bitwise_or.reduce(cw << shifts, axis=2)
-            rows3[:, 68:] = fm.t3_packed.reshape(n3, 32)
+            SLAB = 1 << 22
+            t3p = fm.t3_packed.reshape(n3, 32)
+            for s in range(0, n3, SLAB):
+                e = min(s + SLAB, n3)
+                cp = fm.t3_cp[s:e]
+                rows3[s:e, :64] = (cp & 0xFFFFFFFF).astype(np.uint32)
+                carry = ((cp >> 32) & 3).astype(np.uint32)   # [m, 64]
+                cw = carry.reshape(e - s, 4, 16)
+                rows3[s:e, 64:68] = np.bitwise_or.reduce(cw << shifts,
+                                                         axis=2)
+                rows3[s:e, 68:] = t3p[s:e]
         else:
             n1 = fm.occ_cp.shape[0]
             union = np.zeros((n1, UNION_ROW), dtype=np.uint32)

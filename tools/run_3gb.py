@@ -116,12 +116,40 @@ def main():
     ]
 
     from gsalign_tpu.config import AlignConfig
+    from gsalign_tpu.index.io import save_index
+    from gsalign_tpu.ops.rank import DeviceFMIndex
+    from gsalign_tpu.parallel import mesh as mesh_lib
     from gsalign_tpu.pipeline.align import compare_genomes
+
+    # insurance: persist the ~50 GB build so an align-phase failure never
+    # costs the 45+ min rebuild
+    t1 = time.time()
+    save_index(fm, os.path.join(args.out, "idx"))
+    result["save_wall_s"] = round(time.time() - t1, 1)
+    print(f"[3gb] index saved ({result['save_wall_s']}s)", flush=True)
+
+    # Pre-shard the device index and CACHE the sharded version, then free
+    # the host-side rank planes (t3_cp 24.8 GB + t3_packed 6.2 GB + occ /
+    # bwt) and the unsharded device copies — on the CPU mesh every
+    # "device" buffer is host RAM, so compare_genomes' usual
+    # from_host -> shard sequence would hold index tables three times.
     mesh = make_mesh()
     result["mesh_devices"] = len(mesh.devices.flat)
+    import gc
+    dfm = DeviceFMIndex.from_host(fm)
+    fm.t3_cp = fm.t3_packed = fm.occ_cp = fm.bwt_packed = None
+    fm.sa_samples = fm.c8 = fm.c12 = None   # host planes: consumed above
+    gc.collect()
+    fm._device_cache = mesh_lib.shard_index_rows(dfm, mesh)
+    del dfm                                 # unsharded device copies
+    gc.collect()
+    print(f"[3gb] index sharded over {result['mesh_devices']} devices, "
+          f"host rank planes freed (RSS now {rss_gb():.1f} GB peak)",
+          flush=True)
+
     t1 = time.time()
     stats, collector, blocks = compare_genomes(
-        fm, qry_records, AlignConfig(), mesh=mesh, shard_index_rows=True,
+        fm, qry_records, AlignConfig(), mesh=mesh,
         output_prefix=os.path.join(args.out, "out"), verbose=True)
     t_align = time.time() - t1
     result.update({
